@@ -1,0 +1,191 @@
+"""Configuration system for the TPU-native SLAM pipeline.
+
+The reference hardcodes every parameter in C++ and requires recompilation to
+change dataset paths (``/root/reference/src/VisualSLAM.cpp:220-222``,
+``README.md:27-32``); intrinsics, baseline, loop parameters and thresholds
+are scattered literals (``include/visualSLAM.h:68,82-87,120-127``; step 30,
+inliers 200, cooldown 100, SOR 200/0.01).  Here everything is a frozen
+dataclass; the five BASELINE.json configurations are provided as presets.
+
+All capacities are STATIC — they size the fixed-shape arrays that every
+jitted stage runs on.  Changing a capacity retriggers XLA compilation, so
+presets pick TPU-friendly (multiple-of-8/128) values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class CameraConfig:
+    """Stereo rig calibration (KITTI grayscale rig by default)."""
+
+    fx: float = 718.856
+    fy: float = 718.856
+    cx: float = 607.1928
+    cy: float = 185.2157
+    baseline: float = 0.54  # meters; reference visualSLAM.h:68
+    width: int = 1241
+    height: int = 376
+
+
+@dataclass(frozen=True)
+class FrontendConfig:
+    """Dense sampling + LK tracking + gating (reference C2/C4/C5)."""
+
+    grid_step: int = 30  # px; reference src/tracking.cpp:4-12 (stepSize=30)
+    max_points: int = 1536  # static capacity for tracked points (mult of 128)
+    # Pyramidal LK (reference uses OpenCV defaults: win 21, 3 levels + base,
+    # 30 iters; Python proto src/ROSslam.py:145 same).
+    lk_window: int = 21
+    lk_levels: int = 4  # pyramid levels incl. base
+    lk_iters: int = 10
+    lk_eps: float = 0.01
+    lk_min_eig: float = 1e-7  # for images in [0, 1]
+    lk_max_residual: float = 0.8  # contrast-normalized photometric gate
+    # Fundamental-matrix RANSAC gate (reference src/tracking.cpp:30-43:
+    # CV_RANSAC 3.0 px, 0.99; frame2frame 8-pt 1.0 px).
+    fmat_iters: int = 256  # fixed hypothesis budget (parallel RANSAC)
+    fmat_thresh_px: float = 1.0
+    fmat_stereo_thresh_px: float = 3.0
+    # ANMS (reference src/ANMS.cpp:18-67)
+    anms_robust_coeff: float = 1.11
+    fast_thresh: float = 12.0
+
+
+@dataclass(frozen=True)
+class PnPConfig:
+    """PnP-RANSAC localization (reference src/rosFuncs.cpp:73-94)."""
+
+    iters: int = 256  # parallel hypotheses (ref: 100 sequential)
+    thresh_px: float = 1.0
+    retry_thresh_px: float = 8.0  # reference retry ladder rosFuncs.cpp:85-93
+    min_inliers: int = 10  # below -> tracking failure (SHUTDOWN in ref)
+    refine_iters: int = 8  # Gauss-Newton polish on SE(3)
+
+
+@dataclass(frozen=True)
+class KeyframeConfig:
+    """Keyframe triggering + map management (reference C8/C14)."""
+
+    max_keyframes: int = 512  # ring-buffer capacity
+    min_pnp_inliers: int = 200  # trigger: reference VisualSLAM.cpp:120
+    map_block_points: int = 1536  # points per keyframe cloud block
+    sor_mean_k: int = 32  # reference uses meanK=200 (rosFuncs.cpp:9); 32 kNN
+    sor_std_mul: float = 1.0  # over blocks is the masked equivalent
+    max_depth: float = 500.0  # z cutoff, reference rosFuncs.cpp:12-14
+
+
+@dataclass(frozen=True)
+class LoopClosureConfig:
+    """BoW loop detection (reference C9: TemplatedLoopDetector params)."""
+
+    enabled: bool = True
+    orb_features: int = 512  # descriptors per frame (static capacity)
+    vocab_k: int = 9  # branching factor, reference bagOfWordsDetector.cpp:21
+    vocab_levels: int = 6  # depth
+    direct_index_level: int = 2  # di_levels, reference visualSLAM.h:126
+    dislocal: int = 20  # skip this many recent frames (detector default)
+    max_db_results: int = 50
+    min_nss: float = 0.005
+    alpha: float = 0.3  # island score factor (ref uses 0.9 w/ use_nss)
+    k_consistency: int = 1  # temporal window, reference visualSLAM.h:125
+    geom_min_points: int = 12
+    geom_ransac_iters: int = 256
+    geom_thresh_px: float = 2.0
+    neigh_ratio: float = 0.6
+    min_separation: int = 100  # accept iff query - match > 100 (driver rule,
+    cooldown: int = 100  # reference src/optimizationStuff.cpp:59-63)
+    db_capacity: int = 4096  # reference allocates 4000 (visualSLAM.h:137)
+
+
+@dataclass(frozen=True)
+class PGOConfig:
+    """SE(3) pose-graph optimization (reference C11: g2o GN x10)."""
+
+    iters: int = 10  # reference poseGraph.h:130 optimize(10)
+    max_poses: int = 4608  # reference reserves 4500 (VisualSLAM.cpp:37)
+    max_loop_edges: int = 64
+    damping: float = 1e-6  # LM-style diagonal damping for the GN solve
+    cg_iters: int = 128  # block-CG iterations for the normal equations
+
+
+@dataclass(frozen=True)
+class BAConfig:
+    """Windowed Schur-complement bundle adjustment (reference C13)."""
+
+    window: int = 8  # keyframes per BA window
+    max_landmarks: int = 2048
+    iters: int = 10  # reference bundleAdjust.cpp:598 optimize(10)
+    damping: float = 1e-4
+    huber_px: float = 2.0
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Device-mesh layout for multi-chip / multi-host runs."""
+
+    mesh_shape: tuple = (1,)  # devices along the 'shard' axis
+    axis_name: str = "shard"
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    camera: CameraConfig = CameraConfig()
+    frontend: FrontendConfig = FrontendConfig()
+    pnp: PnPConfig = PnPConfig()
+    keyframes: KeyframeConfig = KeyframeConfig()
+    loop: LoopClosureConfig = LoopClosureConfig()
+    pgo: PGOConfig = PGOConfig()
+    ba: BAConfig = BAConfig()
+    parallel: ParallelConfig = ParallelConfig()
+    ba_enabled: bool = False
+    export_map: bool = False
+    seed: int = 0
+
+    def replace(self, **kw) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# BASELINE.json presets (the five benchmark configurations)
+# ---------------------------------------------------------------------------
+
+
+def preset_odometry() -> PipelineConfig:
+    """Config 1: stereo odometry only (ANMS + LK + RANSAC-PnP), no LC."""
+    return PipelineConfig(loop=LoopClosureConfig(enabled=False))
+
+
+def preset_mapping() -> PipelineConfig:
+    """Config 2: odometry + triangulated RGB point-cloud map + PLY export."""
+    return PipelineConfig(loop=LoopClosureConfig(enabled=False), export_map=True)
+
+
+def preset_loop_closure() -> PipelineConfig:
+    """Config 3: full SLAM with BoW loop closure + pose-graph optimization."""
+    return PipelineConfig(export_map=True)
+
+
+def preset_ba() -> PipelineConfig:
+    """Config 4: keyframe management + windowed Schur BA."""
+    return PipelineConfig(export_map=True, ba_enabled=True)
+
+
+def preset_distributed(n_devices: int) -> PipelineConfig:
+    """Config 5: keyframes/map blocks partitioned across devices."""
+    return PipelineConfig(
+        export_map=True,
+        ba_enabled=True,
+        parallel=ParallelConfig(mesh_shape=(n_devices,)),
+    )
+
+
+PRESETS = {
+    "odometry": preset_odometry,
+    "mapping": preset_mapping,
+    "loop_closure": preset_loop_closure,
+    "ba": preset_ba,
+}

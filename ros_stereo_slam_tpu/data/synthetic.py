@@ -1,0 +1,222 @@
+"""Synthetic stereo sequence generator with exact ground truth.
+
+The reference is only ever exercised on KITTI image folders read from disk
+(``/root/reference/src/rosFuncs.cpp:48-71``).  For hermetic tests and
+benchmarks (no dataset in the image), we render a procedural 3D world under
+a known trajectory:
+
+- A textured "world" of random 3D landmark boxes plus a smooth procedural
+  intensity field, rendered with the same pinhole model the pipeline uses.
+- Ground-truth poses, depths and point correspondences are exact, giving
+  oracle values for triangulation / PnP / ATE tests (SURVEY.md §4).
+
+Rendering is plain numpy (host-side, like dataset IO) — it stands in for
+the disk loader, not for the compute path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ros_stereo_slam_tpu.config import CameraConfig
+
+
+def _smooth_noise_2d(shape, rng, octaves=4, base_period=64):
+    """Multi-octave value noise -> textured intensity field in [0, 1]."""
+    h, w = shape
+    out = np.zeros(shape, dtype=np.float32)
+    amp = 1.0
+    total = 0.0
+    for o in range(octaves):
+        period = max(base_period >> o, 4)
+        gh, gw = h // period + 2, w // period + 2
+        grid = rng.standard_normal((gh, gw)).astype(np.float32)
+        ys = np.arange(h, dtype=np.float32) / period
+        xs = np.arange(w, dtype=np.float32) / period
+        y0 = np.floor(ys).astype(np.int32)
+        x0 = np.floor(xs).astype(np.int32)
+        ty = (ys - y0)[:, None]
+        tx = (xs - x0)[None, :]
+        # smoothstep
+        ty = ty * ty * (3 - 2 * ty)
+        tx = tx * tx * (3 - 2 * tx)
+        g00 = grid[y0][:, x0]
+        g01 = grid[y0][:, x0 + 1]
+        g10 = grid[y0 + 1][:, x0]
+        g11 = grid[y0 + 1][:, x0 + 1]
+        val = (
+            g00 * (1 - ty) * (1 - tx)
+            + g01 * (1 - ty) * tx
+            + g10 * ty * (1 - tx)
+            + g11 * ty * tx
+        )
+        out += amp * val
+        total += amp
+        amp *= 0.5
+    out /= total
+    out -= out.min()
+    out /= max(out.max(), 1e-6)
+    return out
+
+
+@dataclass
+class SyntheticWorld:
+    """A STATIC textured corridor ray-cast under a known trajectory.
+
+    Side walls, floor, ceiling and a far end wall (all world-fixed) give
+    realistic depth structure (2 m .. 260 m) and LK/stereo parallax, with
+    exact analytic depth at every pixel.
+    """
+
+    camera: CameraConfig
+    n_frames: int = 64
+    seed: int = 0
+    # trajectory: forward motion with gentle yaw — KITTI-like
+    speed: float = 0.8  # meters / frame
+    yaw_rate: float = 0.004  # radians / frame
+    tex_size: int = 512
+    poses: np.ndarray = field(init=False)  # (N, 4, 4) world-from-cam
+
+    def __post_init__(self):
+        rng = np.random.default_rng(self.seed)
+        self.rng = rng
+        # World textures: one big background plane far away + floor-ish noise.
+        self.tex_far = _smooth_noise_2d((self.tex_size, self.tex_size), rng, octaves=5, base_period=96)
+        self.tex_near = _smooth_noise_2d((self.tex_size, self.tex_size), rng, octaves=6, base_period=24)
+        self.poses = self._make_trajectory()
+
+    def _make_trajectory(self) -> np.ndarray:
+        poses = np.zeros((self.n_frames, 4, 4), dtype=np.float64)
+        T = np.eye(4)
+        for i in range(self.n_frames):
+            poses[i] = T
+            yaw = self.yaw_rate * (1.0 + 0.3 * np.sin(i * 0.05))
+            c, s = np.cos(yaw), np.sin(yaw)
+            dR = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+            dt = np.array([0.0, 0.0, self.speed])
+            dT = np.eye(4)
+            dT[:3, :3] = dR
+            dT[:3, 3] = dt
+            T = T @ dT
+        return poses
+
+    # -- rendering ---------------------------------------------------------
+
+    def render(self, frame: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Render (left, right, depth_left) for a frame.
+
+        Returns float32 images in [0, 1], shape (H, W), plus the exact
+        per-pixel depth of the left image (for oracle checks).
+        """
+        cam = self.camera
+        H, W = cam.height, cam.width
+        T_wc = self.poses[frame]
+        left = self._render_view(T_wc, return_depth=True)
+        # Right camera: offset by +baseline along camera x axis.
+        T_right = T_wc.copy()
+        T_right[:3, 3] = T_wc[:3, 3] + T_wc[:3, :3] @ np.array([cam.baseline, 0, 0])
+        right = self._render_view(T_right, return_depth=False)
+        return left[0], right, left[1]
+
+    # Static corridor geometry (world frame, z = forward at frame 0):
+    # side walls at x = +/-half_w, floor at y = +floor_y, ceiling at
+    # y = -ceil_y, end wall at z = end_z.  STATIC is essential: an earlier
+    # design anchored the wall "40 m ahead of the camera", which made the
+    # multi-frame geometry inconsistent (zero optical flow under forward
+    # motion) — caught by end-to-end PnP verification.
+    half_w: float = 7.0
+    floor_y: float = 1.6
+    ceil_y: float = 4.0
+    end_z: float = 260.0
+
+    def _render_view(self, T_wc: np.ndarray, return_depth: bool):
+        """Ray-cast the static textured corridor for one camera pose."""
+        cam = self.camera
+        H, W = cam.height, cam.width
+        us, vs = np.meshgrid(np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64))
+        # Camera rays in world frame.
+        dirs_cam = np.stack(
+            [(us - cam.cx) / cam.fx, (vs - cam.cy) / cam.fy, np.ones_like(us)], axis=-1
+        )
+        R = T_wc[:3, :3]
+        t = T_wc[:3, 3]
+        dirs_w = dirs_cam @ R.T  # (H, W, 3)
+
+        big = 1e9
+        lam = np.full((H, W), big)
+        for axis, bound in (
+            (0, self.half_w),
+            (0, -self.half_w),
+            (1, self.floor_y),
+            (1, -self.ceil_y),
+            (2, self.end_z),
+        ):
+            d = dirs_w[..., axis]
+            cand = (bound - t[axis]) / np.where(np.abs(d) > 1e-9, d, 1e-9)
+            cand = np.where((cand > 0.1) & (np.abs(d) > 1e-9), cand, big)
+            lam = np.minimum(lam, cand)
+        lam = np.clip(lam, 0.1, self.end_z * 4)
+        p = t[None, None, :] + lam[..., None] * dirs_w
+        depth = lam  # camera-frame z (dirs_cam z == 1)
+
+        # Pseudo-volumetric texture: oblique projections of world position so
+        # every plane orientation gets non-degenerate texture, two scales.
+        u1 = p[..., 0] * 11.0 + p[..., 2] * 17.0 + p[..., 1] * 3.0
+        v1 = p[..., 1] * 13.0 + p[..., 2] * 7.0 + p[..., 0] * 2.0
+        img = _bilinear(self.tex_far, v1 % self.tex_size, u1 % self.tex_size)
+        u2 = p[..., 0] * 41.0 + p[..., 2] * 53.0
+        v2 = p[..., 1] * 47.0 + p[..., 2] * 29.0 + p[..., 0] * 5.0
+        img = 0.65 * img + 0.35 * _bilinear(self.tex_near, v2 % self.tex_size, u2 % self.tex_size)
+        img = img.astype(np.float32)
+        if return_depth:
+            return img, depth.astype(np.float32)
+        return img
+
+    def visible_world_points(self, frame: int, n: int, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+        """Sample n world surface points visible in `frame`'s left image.
+
+        Returns (pts_world (n,3), uv_left (n,2)) exact correspondences —
+        used as PnP / triangulation oracles.
+        """
+        cam = self.camera
+        rng = np.random.default_rng(seed + 13 * frame)
+        us = rng.uniform(40, cam.width - 40, n)
+        vs = rng.uniform(40, cam.height - 40, n)
+        _, depth = self._render_view(self.poses[frame], return_depth=True)
+        d = _bilinear(depth, vs, us)
+        dirs_cam = np.stack(
+            [(us - cam.cx) / cam.fx, (vs - cam.cy) / cam.fy, np.ones_like(us)], axis=-1
+        )
+        pts_cam = dirs_cam * d[:, None]
+        T = self.poses[frame]
+        pts_world = pts_cam @ T[:3, :3].T + T[:3, 3]
+        return pts_world.astype(np.float32), np.stack([us, vs], axis=1).astype(np.float32)
+
+
+def _bilinear(img: np.ndarray, y: np.ndarray, x: np.ndarray) -> np.ndarray:
+    h, w = img.shape
+    x0 = np.clip(np.floor(x).astype(np.int64), 0, w - 2)
+    y0 = np.clip(np.floor(y).astype(np.int64), 0, h - 2)
+    tx = np.clip(x - x0, 0.0, 1.0)
+    ty = np.clip(y - y0, 0.0, 1.0)
+    return (
+        img[y0, x0] * (1 - ty) * (1 - tx)
+        + img[y0, x0 + 1] * (1 - ty) * tx
+        + img[y0 + 1, x0] * ty * (1 - tx)
+        + img[y0 + 1, x0 + 1] * ty * tx
+    )
+
+
+def small_world(n_frames: int = 16, seed: int = 0, scale: int = 2) -> SyntheticWorld:
+    """A reduced-resolution world for fast unit tests."""
+    cam = CameraConfig(
+        fx=718.856 / scale,
+        fy=718.856 / scale,
+        cx=607.1928 / scale,
+        cy=185.2157 / scale,
+        width=1241 // scale,
+        height=376 // scale,
+    )
+    return SyntheticWorld(camera=cam, n_frames=n_frames, seed=seed)

@@ -1,0 +1,179 @@
+"""Batched PnP-RANSAC localization with SE(3) Gauss-Newton polish
+(reference C7).
+
+TPU-native replacement for ``cv::solvePnPRansac`` as driven by
+``visualSLAM::PerspectiveNpointEstimation``
+(``/root/reference/src/rosFuncs.cpp:73-94``): estimate the cam-from-world
+pose from tracked 3D<->2D correspondences, count inliers at a pixel
+threshold, with a retry ladder at a looser threshold (``:85-93``).
+
+Design: K minimal 6-point DLT hypotheses solved in one vmapped batch
+(12x12 eigendecompositions), all-hypotheses-vs-all-points reprojection
+scoring as masked (K, N) matmul reductions, then a fixed-iteration
+Huber-IRLS Gauss-Newton refinement on the best hypothesis' inliers.
+OpenCV's sequential-adaptive loop becomes a fixed parallel budget
+(SURVEY.md §7); the retry ladder lives in the caller as host logic.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ros_stereo_slam_tpu.ops.ransac import _sample_minimal_sets
+from ros_stereo_slam_tpu.utils import lie
+from ros_stereo_slam_tpu.utils.camera import Pinhole
+
+
+class PnPResult(NamedTuple):
+    T_cw: jnp.ndarray  # (4, 4) cam-from-world
+    inliers: jnp.ndarray  # (N,) bool
+    n_inliers: jnp.ndarray  # () int32
+    errors: jnp.ndarray  # (N,) reprojection error (px) under final pose
+
+
+def _p6p_dlt(X: jnp.ndarray, xn: jnp.ndarray) -> jnp.ndarray:
+    """Minimal-ish DLT: 6 world points + normalized image coords -> T (3, 4).
+
+    Solves x_n ~ [R|t] X_h with the 12-dof projective DLT, then projects
+    onto SE(3): orthogonal Procrustes on the rotation block, scale from its
+    singular values, cheirality by majority positive depth.
+    """
+    # Normalize world points (zero mean, unit RMS) — f32 conditioning of the
+    # DLT demands it (world coords span tens of meters vs O(1) image coords).
+    mean = jnp.mean(X, axis=0)
+    scale = jnp.sqrt(jnp.mean(jnp.sum((X - mean) ** 2, axis=1))) / jnp.sqrt(3.0)
+    scale = jnp.maximum(scale, 1e-6)
+    Xn = (X - mean) / scale
+    ones = jnp.ones((X.shape[0], 1), X.dtype)
+    Xh = jnp.concatenate([Xn, ones], axis=1)  # (6, 4)
+    zeros = jnp.zeros_like(Xh)
+    rows_u = jnp.concatenate([Xh, zeros, -xn[:, 0:1] * Xh], axis=1)
+    rows_v = jnp.concatenate([zeros, Xh, -xn[:, 1:2] * Xh], axis=1)
+    A = jnp.concatenate([rows_u, rows_v], axis=0)  # (12, 12)
+    _, _, vt = jnp.linalg.svd(A)
+    Mn = vt[-1].reshape(3, 4)
+    # Denormalize: x ~ Mn @ N @ X_h with N = [[I/s, -mean/s], [0, 1]].
+    N = jnp.eye(4, dtype=X.dtype) / scale
+    N = N.at[3, 3].set(1.0)
+    N = N.at[:3, 3].set(-mean / scale)
+    M = Mn @ N
+    # Cheirality: fix the projective sign so most sample depths are positive.
+    z = jnp.concatenate([X, ones], axis=1) @ M[2, :]
+    M = jnp.where(jnp.sum(z > 0) < 3, -M, M)
+    B = M[:, :3]
+    u, s, vt = jnp.linalg.svd(B)
+    detuv = jnp.linalg.det(u @ vt)
+    d = jnp.asarray([1.0, 1.0, 1.0], X.dtype).at[2].set(detuv)
+    R = (u * d[None, :]) @ vt
+    scale = 3.0 / jnp.maximum(s[0] + s[1] + s[2] * detuv, 1e-12)
+    t = M[:, 3] * scale
+    return R, t
+
+
+def _reproj_errors(cam: Pinhole, R: jnp.ndarray, t: jnp.ndarray, X: jnp.ndarray, uv: jnp.ndarray):
+    """(..., 3, 3) R, (..., 3) t vs (N, 3) X, (N, 2) uv -> (..., N) px errors."""
+    pc = jnp.einsum("...ij,nj->...ni", R, X) + t[..., None, :]
+    z = pc[..., 2]
+    pos = z > 1e-3
+    zs = jnp.where(pos, z, 1.0)
+    u = cam.fx * pc[..., 0] / zs + cam.cx
+    v = cam.fy * pc[..., 1] / zs + cam.cy
+    err = jnp.sqrt((u - uv[..., 0]) ** 2 + (v - uv[..., 1]) ** 2)
+    return jnp.where(pos, err, 1e9)
+
+
+def _gn_refine(
+    cam: Pinhole,
+    T0: jnp.ndarray,
+    X: jnp.ndarray,
+    uv: jnp.ndarray,
+    weights_mask: jnp.ndarray,
+    iters: int,
+    huber_px: float = 2.0,
+    damping: float = 1e-4,
+) -> jnp.ndarray:
+    """Huber-IRLS Gauss-Newton on SE(3); all reductions are (N,6)-matmuls."""
+
+    def step(_, T):
+        R, t = T[:3, :3], T[:3, 3]
+        pc = X @ R.T + t
+        z = jnp.maximum(pc[:, 2], 1e-3)
+        u = cam.fx * pc[:, 0] / z + cam.cx
+        v = cam.fy * pc[:, 1] / z + cam.cy
+        r = jnp.stack([u - uv[:, 0], v - uv[:, 1]], axis=1)  # (N, 2)
+        # 2x3 projection Jacobian wrt camera-frame point
+        inv_z = 1.0 / z
+        Ju = jnp.stack(
+            [cam.fx * inv_z, jnp.zeros_like(z), -cam.fx * pc[:, 0] * inv_z * inv_z],
+            axis=1,
+        )
+        Jv = jnp.stack(
+            [jnp.zeros_like(z), cam.fy * inv_z, -cam.fy * pc[:, 1] * inv_z * inv_z],
+            axis=1,
+        )
+        # dp/dxi for left-multiplied twist: [I | -hat(p)] (N, 3, 6)
+        def dpdxi(p):
+            return jnp.concatenate([jnp.eye(3, dtype=p.dtype), -lie.hat_so3(p)], axis=1)
+
+        Jp = jax.vmap(dpdxi)(pc)  # (N, 3, 6)
+        Jrow_u = jnp.einsum("ni,nij->nj", Ju, Jp)  # (N, 6)
+        Jrow_v = jnp.einsum("ni,nij->nj", Jv, Jp)
+        J = jnp.stack([Jrow_u, Jrow_v], axis=1)  # (N, 2, 6)
+        # Huber IRLS weights on the residual norm
+        rn = jnp.linalg.norm(r, axis=1)
+        wh = jnp.where(rn <= huber_px, 1.0, huber_px / jnp.maximum(rn, 1e-9))
+        wgt = wh * weights_mask
+        Jw = J * wgt[:, None, None]
+        H = jnp.einsum("nki,nkj->ij", Jw, J) + damping * jnp.eye(6, dtype=T.dtype)
+        b = jnp.einsum("nki,nk->i", Jw, r)
+        dxi = jnp.linalg.solve(H, -b)
+        return lie.exp_se3(dxi) @ T
+
+    return jax.lax.fori_loop(0, iters, step, T0)
+
+
+@partial(jax.jit, static_argnames=("iters", "refine_iters"))
+def pnp_ransac(
+    key: jax.Array,
+    cam: Pinhole,
+    pts3d: jnp.ndarray,
+    uv: jnp.ndarray,
+    mask: jnp.ndarray,
+    thresh_px: float | jnp.ndarray = 1.0,
+    iters: int = 256,
+    refine_iters: int = 8,
+) -> PnPResult:
+    """RANSAC + GN PnP on (N, 3) world points vs (N, 2) observations."""
+    idx = _sample_minimal_sets(key, mask, iters, 6)  # (K, 6)
+    Xs = pts3d[idx]  # (K, 6, 3)
+    xn = jnp.stack(
+        [(uv[..., 0] - cam.cx) / cam.fx, (uv[..., 1] - cam.cy) / cam.fy], axis=-1
+    )
+    xns = xn[idx]  # (K, 6, 2)
+    Rk, tk = jax.vmap(_p6p_dlt)(Xs, xns)  # (K, 3, 3), (K, 3)
+    err = _reproj_errors(cam, Rk, tk, pts3d, uv)  # (K, N)
+    inl = (err < thresh_px) & mask[None, :]
+    counts = jnp.sum(inl, axis=1)
+    best = jnp.argmax(counts)
+    T0 = lie.make_se3(Rk[best], tk[best])
+
+    # GN polish on the best hypothesis' inliers (masked weights).
+    w = inl[best].astype(pts3d.dtype)
+    T = _gn_refine(cam, T0, pts3d, uv, w, refine_iters)
+    # Re-score with the polished pose; expand the inlier set.
+    final_err = _reproj_errors(cam, T[:3, :3], T[:3, 3], pts3d, uv)
+    final_inl = (final_err < thresh_px) & mask
+    # One more polish round on the expanded set, then final score.
+    T = _gn_refine(cam, T, pts3d, uv, final_inl.astype(pts3d.dtype), refine_iters)
+    final_err = _reproj_errors(cam, T[:3, :3], T[:3, 3], pts3d, uv)
+    final_inl = (final_err < thresh_px) & mask
+    return PnPResult(
+        T_cw=T,
+        inliers=final_inl,
+        n_inliers=jnp.sum(final_inl),
+        errors=final_err,
+    )
