@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Benchmark harness: odometry frames/sec/chip on a KITTI-scale sequence.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+Two modes (compute is the headline — the whole sequence runs as a single
+``lax.scan`` XLA program on device, the TPU-native execution model):
+- scan    (default): stacked frames pre-staged in HBM, one dispatch.
+- stream: one fused dispatch per frame incl. host transfer overheads.
+
+Baseline: the reference C++ pipeline publishes no numbers (BASELINE.md);
+its frame loop ran at ~10 Hz on the author's desktop CPU (SURVEY.md §3.1,
+``/root/reference/src/VisualSLAM.cpp:184-189`` live-FPS display).  We use
+10 frames/s as the reference figure; vs_baseline = our_fps / 10.
+
+Usage: python bench.py [--frames N] [--platform cpu] [--mode scan|stream]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+REFERENCE_CPU_FPS = 10.0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=32, help="timed frames")
+    ap.add_argument("--platform", type=str, default=None)
+    ap.add_argument("--mode", choices=["scan", "stream"], default="scan")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import numpy as np
+
+    from ros_stereo_slam_tpu.config import CameraConfig, preset_odometry
+    from ros_stereo_slam_tpu.data.synthetic import SyntheticWorld
+    from ros_stereo_slam_tpu.models.pipeline import StereoOdometry, run_offline
+    from ros_stereo_slam_tpu.utils import metrics
+
+    n_total = args.frames + 1
+    cam = CameraConfig()  # full KITTI geometry: 1241x376
+    world = SyntheticWorld(camera=cam, n_frames=n_total, seed=11)
+    print(f"[bench] rendering {n_total} synthetic frames at "
+          f"{cam.width}x{cam.height}...", file=sys.stderr)
+    lefts, rights = [], []
+    for i in range(n_total):
+        l, r, _ = world.render(i)
+        lefts.append(l)
+        rights.append(r)
+    left_seq = np.stack(lefts)
+    right_seq = np.stack(rights)
+
+    cfg = preset_odometry().replace(camera=cam)
+    platform = jax.devices()[0].platform
+    print(f"[bench] mode={args.mode} platform={platform}", file=sys.stderr)
+
+    if args.mode == "scan":
+        print("[bench] compile + first run...", file=sys.stderr)
+        res = run_offline(cfg, left_seq, right_seq)
+        print("[bench] timed run...", file=sys.stderr)
+        t0 = time.perf_counter()
+        res = run_offline(cfg, left_seq, right_seq)
+        dt = time.perf_counter() - t0
+    else:
+        slam = StereoOdometry(cfg)
+        slam.initialize(left_seq[0], right_seq[0])
+        slam.process_frame(left_seq[1], right_seq[1])  # compile
+        slam2 = StereoOdometry(cfg)
+        slam2.initialize(left_seq[0], right_seq[0])
+        t0 = time.perf_counter()
+        for i in range(1, n_total):
+            slam2.process_frame(left_seq[i], right_seq[i])
+        dt = time.perf_counter() - t0
+
+        class _R:  # adapt for metrics below
+            trajectory = slam2.trajectory_array()
+            tracking_ok = np.asarray([True])
+        res = _R()
+
+    fps = args.frames / dt
+    ate = metrics.ate_rmse(res.trajectory, world.poses[: res.trajectory.shape[0]])
+
+    result = {
+        "metric": "odometry_frames_per_sec_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REFERENCE_CPU_FPS, 2),
+        "ate_rmse_m": round(ate, 4),
+        "frames": args.frames,
+        "mode": args.mode,
+        "resolution": f"{cam.width}x{cam.height}",
+        "platform": platform,
+        "n_devices": len(jax.devices()),
+        "baseline_note": "reference C++ SLAM loop ~10 fps CPU (unpublished; SURVEY.md §6)",
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

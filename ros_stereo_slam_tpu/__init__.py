@@ -21,4 +21,13 @@ Subpackages
 
 __version__ = "0.1.0"
 
-from ros_stereo_slam_tpu import config as config  # noqa: F401
+import jax as _jax
+
+# Geometry demands true f32 contractions: the TPU default lowers f32
+# matmuls/einsums to bf16 MXU passes (8 mantissa bits), which collapses
+# pixel-scale computations (Sampson scoring, PnP normal equations) —
+# measured as a 5x PnP-inlier drop on TPU vs CPU.  Our contractions are
+# tiny (N x 9, N x 6), so the f32 path costs nothing at SLAM scale.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
+from ros_stereo_slam_tpu import config as config  # noqa: F401, E402

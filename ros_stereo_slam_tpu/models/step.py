@@ -1,0 +1,222 @@
+"""Fully-fused on-device SLAM step + whole-sequence scan.
+
+The reference's frame loop (``/root/reference/src/VisualSLAM.cpp:54-200``)
+interleaves host logic with every vision call.  On TPU that structure is
+latency-bound (each host<->device round trip costs more than the math), so
+the ENTIRE frame — tracking, PnP with its retry ladder
+(``src/rosFuncs.cpp:85-93``), the keyframe trigger (``:120``), keyframe
+re-triangulation (``src/keyFrameManagement.cpp:9-31``) and the keyframe
+store update — is one jitted function with ``lax.cond`` for the
+data-dependent branches.  :func:`run_sequence` goes further and folds the
+frame loop itself into ``lax.scan``: an entire SLAM sequence becomes a
+single XLA program (one dispatch, zero per-frame host traffic).
+
+Host-side orchestration (pipeline.py) remains for streaming use; this
+module is the throughput path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ros_stereo_slam_tpu.config import PipelineConfig
+from ros_stereo_slam_tpu.models import frontend
+from ros_stereo_slam_tpu.models.state import KeyframeStore, TrackState
+from ros_stereo_slam_tpu.ops import lk, pnp, pyramid, ransac, triangulate, interp
+from ros_stereo_slam_tpu.utils import lie
+from ros_stereo_slam_tpu.utils.camera import Pinhole
+
+
+class FrameStats(NamedTuple):
+    T_wc: jnp.ndarray  # (4, 4)
+    n_tracked: jnp.ndarray  # () i32
+    n_inliers: jnp.ndarray  # () i32
+    is_keyframe: jnp.ndarray  # () bool
+    tracking_ok: jnp.ndarray  # () bool
+    used_retry: jnp.ndarray  # () bool
+
+
+class SlamCarry(NamedTuple):
+    track: TrackState
+    T_wc: jnp.ndarray  # (4, 4) current pose (world-from-cam)
+    keyframes: KeyframeStore
+    ref_pyr: tuple  # pyramid of the previous left image
+    key: jax.Array
+    frame_idx: jnp.ndarray  # () i32
+
+
+def _cam_of(cfg: PipelineConfig) -> Pinhole:
+    c = cfg.camera
+    return Pinhole(
+        fx=jnp.float32(c.fx), fy=jnp.float32(c.fy),
+        cx=jnp.float32(c.cx), cy=jnp.float32(c.cy),
+    )
+
+
+def _bootstrap_track(
+    left_pyr, right_pyr, grid_pts, grid_mask, T_wc, key, cfg: PipelineConfig
+) -> TrackState:
+    """Stereo LK -> F-gate -> triangulate -> world lift (C6, jit-inlined)."""
+    fe = cfg.frontend
+    cam = _cam_of(cfg)
+    res = lk.track(left_pyr, right_pyr, grid_pts, None, frontend._lk_params(fe))
+    m = grid_mask & res.valid
+    fres = ransac.fmat_ransac(
+        key, grid_pts, res.points, m,
+        thresh_px=fe.fmat_stereo_thresh_px, iters=fe.fmat_iters,
+    )
+    m = m & fres.inliers
+    tri = triangulate.triangulate_rectified(
+        cam, jnp.float32(cfg.camera.baseline), grid_pts, res.points, m,
+        max_depth=cfg.keyframes.max_depth,
+    )
+    pts_world = lie.transform_points(T_wc, tri.points)
+    gray = interp.bilinear_at(left_pyr[0], grid_pts)
+    colors = jnp.stack([gray, gray, gray], axis=-1)
+    return TrackState(pts2d=grid_pts, pts3d=pts_world, colors=colors, mask=tri.valid)
+
+
+def _insert_keyframe(
+    kf: KeyframeStore, track: TrackState, T_wc, frame_idx
+) -> KeyframeStore:
+    slot = kf.count % kf.capacity
+    return kf._replace(
+        poses=kf.poses.at[slot].set(T_wc),
+        frame_idx=kf.frame_idx.at[slot].set(frame_idx),
+        points=kf.points.at[slot].set(track.pts3d),
+        colors=kf.colors.at[slot].set(track.colors),
+        point_mask=kf.point_mask.at[slot].set(track.mask),
+        retrack=kf.retrack.at[slot].set(False),
+        valid=kf.valid.at[slot].set(True),
+        count=kf.count + 1,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def slam_frame_step(
+    carry: SlamCarry,
+    left_img: jnp.ndarray,
+    right_img: jnp.ndarray,
+    grid_pts: jnp.ndarray,
+    grid_mask: jnp.ndarray,
+    cfg: PipelineConfig,
+) -> tuple[SlamCarry, FrameStats]:
+    """One complete SLAM frame, fully on device."""
+    fe, pc, kfc = cfg.frontend, cfg.pnp, cfg.keyframes
+    cam = _cam_of(cfg)
+    key, k_f, k_pnp, k_retry, k_kf = jax.random.split(carry.key, 5)
+
+    cur_pyr = tuple(pyramid.build_pyramid(left_img, fe.lk_levels))
+
+    # --- temporal tracking + F-gate (C4 + C5) ---
+    res = lk.track(carry.ref_pyr, cur_pyr, carry.track.pts2d, None, frontend._lk_params(fe))
+    m = carry.track.mask & res.valid
+    fres = ransac.fmat_ransac(
+        k_f, carry.track.pts2d, res.points, m,
+        thresh_px=fe.fmat_thresh_px, iters=fe.fmat_iters,
+    )
+    m = m & fres.inliers
+    n_tracked = jnp.sum(m)
+
+    # --- PnP with on-device retry ladder (C7) ---
+    p1 = pnp.pnp_ransac(
+        k_pnp, cam, carry.track.pts3d, res.points, m,
+        thresh_px=pc.thresh_px, iters=pc.iters, refine_iters=pc.refine_iters,
+    )
+    need_retry = p1.n_inliers < pc.min_inliers
+
+    def retry(_):
+        return pnp.pnp_ransac(
+            k_retry, cam, carry.track.pts3d, res.points, m,
+            thresh_px=pc.retry_thresh_px, iters=pc.iters,
+            refine_iters=pc.refine_iters,
+        )
+
+    p = lax.cond(need_retry, retry, lambda _: p1, None)
+    tracking_ok = p.n_inliers >= pc.min_inliers
+    T_wc = jnp.where(tracking_ok, lie.inv_se3(p.T_cw), carry.T_wc)
+
+    # --- keyframe trigger + re-triangulation (C8) ---
+    is_kf = (p.n_inliers < kfc.min_pnp_inliers) | (~tracking_ok)
+
+    def kf_branch(_):
+        right_pyr = tuple(pyramid.build_pyramid(right_img, fe.lk_levels))
+        return _bootstrap_track(
+            cur_pyr, right_pyr, grid_pts, grid_mask, T_wc, k_kf, cfg
+        )
+
+    def continue_branch(_):
+        return carry.track._replace(pts2d=res.points, mask=p.inliers & m)
+
+    new_track = lax.cond(is_kf, kf_branch, continue_branch, None)
+    new_kf_store = lax.cond(
+        is_kf,
+        lambda s: _insert_keyframe(s, new_track, T_wc, carry.frame_idx),
+        lambda s: s,
+        carry.keyframes,
+    )
+
+    new_carry = SlamCarry(
+        track=new_track,
+        T_wc=T_wc,
+        keyframes=new_kf_store,
+        ref_pyr=cur_pyr,
+        key=key,
+        frame_idx=carry.frame_idx + 1,
+    )
+    stats = FrameStats(
+        T_wc=T_wc,
+        n_tracked=n_tracked,
+        n_inliers=p.n_inliers,
+        is_keyframe=is_kf,
+        tracking_ok=tracking_ok,
+        used_retry=need_retry,
+    )
+    return new_carry, stats
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def init_carry(
+    left_img: jnp.ndarray,
+    right_img: jnp.ndarray,
+    grid_pts: jnp.ndarray,
+    grid_mask: jnp.ndarray,
+    key: jax.Array,
+    cfg: PipelineConfig,
+) -> SlamCarry:
+    """Frame-0 bootstrap (reference initSequence :22-52)."""
+    fe = cfg.frontend
+    left_pyr = tuple(pyramid.build_pyramid(left_img, fe.lk_levels))
+    right_pyr = tuple(pyramid.build_pyramid(right_img, fe.lk_levels))
+    key, k_b = jax.random.split(key)
+    T0 = jnp.eye(4, dtype=jnp.float32)
+    track = _bootstrap_track(left_pyr, right_pyr, grid_pts, grid_mask, T0, k_b, cfg)
+    kf = KeyframeStore.empty(cfg.keyframes.max_keyframes, fe.max_points)
+    kf = _insert_keyframe(kf, track, T0, jnp.int32(0))
+    return SlamCarry(
+        track=track, T_wc=T0, keyframes=kf, ref_pyr=left_pyr,
+        key=key, frame_idx=jnp.int32(1),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def run_sequence(
+    left_seq: jnp.ndarray,  # (F, H, W) float32 — frames 1..F (post frame 0)
+    right_seq: jnp.ndarray,  # (F, H, W)
+    carry: SlamCarry,
+    grid_pts: jnp.ndarray,
+    grid_mask: jnp.ndarray,
+    cfg: PipelineConfig,
+) -> tuple[SlamCarry, FrameStats]:
+    """The whole sequence as ONE XLA program (lax.scan over frames)."""
+
+    def body(c, imgs):
+        left, right = imgs
+        return slam_frame_step(c, left, right, grid_pts, grid_mask, cfg)
+
+    return lax.scan(body, carry, (left_seq, right_seq))

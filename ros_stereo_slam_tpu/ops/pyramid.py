@@ -3,39 +3,42 @@
 The reference relies on OpenCV's internal pyramid construction inside
 ``calcOpticalFlowPyrLK`` (``/root/reference/src/tracking.cpp:18,52``).
 Here levels are explicit arrays: a 5-tap binomial blur followed by 2x
-decimation, expressed as separable convolutions XLA fuses and vectorizes
-on the VPU.
+decimation.
+
+Implementation note: separable filters are written as explicit
+shift-and-add (pad + static slices), NOT ``lax.conv`` — XLA's TPU conv
+path takes minutes to compile for odd-sized single-channel images
+(measured 148s for a 1241x376 frame), while shifted adds compile in
+milliseconds and fuse into a handful of VPU ops.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
-from jax import lax
 
 # 5-tap binomial kernel (1, 4, 6, 4, 1) / 16 — OpenCV pyrDown's kernel.
-_K5 = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0], dtype=jnp.float32) / 16.0
+_K5 = (1.0 / 16.0, 4.0 / 16.0, 6.0 / 16.0, 4.0 / 16.0, 1.0 / 16.0)
+
+
+def _filter1d(img: jnp.ndarray, taps, axis: int) -> jnp.ndarray:
+    """Apply a symmetric odd-length FIR along `axis` with edge replication."""
+    r = len(taps) // 2
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (r, r)
+    x = jnp.pad(img, pad, mode="edge")
+    n = img.shape[axis]
+    out = None
+    for i, w in enumerate(taps):
+        sl = [slice(None), slice(None)]
+        sl[axis] = slice(i, i + n)
+        term = w * x[tuple(sl)]
+        out = term if out is None else out + term
+    return out
 
 
 def _sep_blur(img: jnp.ndarray) -> jnp.ndarray:
     """Separable 5x5 binomial blur with edge replication."""
-    pad = 2
-    x = jnp.pad(img, ((pad, pad), (0, 0)), mode="edge")
-    x = lax.conv_general_dilated(
-        x[None, None, :, :],
-        _K5[None, None, :, None],
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0, 0]
-    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="edge")
-    x = lax.conv_general_dilated(
-        x[None, None, :, :],
-        _K5[None, None, None, :],
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0, 0]
-    return x
+    return _filter1d(_filter1d(img, _K5, 0), _K5, 1)
 
 
 def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
@@ -54,19 +57,10 @@ def build_pyramid(img: jnp.ndarray, levels: int) -> list[jnp.ndarray]:
 def scharr_gradients(img: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(Ix, Iy) via the 3x3 Scharr operator (OpenCV LK's derivative filter).
 
-    Separable: smooth = (3, 10, 3)/32, diff = (-1, 0, 1)/2.
+    Separable: smooth = (3, 10, 3)/16, diff = (-1, 0, 1)/2.
     """
-    smooth = jnp.asarray([3.0, 10.0, 3.0], dtype=jnp.float32) / 16.0
-    diff = jnp.asarray([-1.0, 0.0, 1.0], dtype=jnp.float32) * 0.5
-
-    def conv1d(x, k, axis):
-        x = jnp.pad(x, ((1, 1), (0, 0)) if axis == 0 else ((0, 0), (1, 1)), mode="edge")
-        kern = k[None, None, :, None] if axis == 0 else k[None, None, None, :]
-        return lax.conv_general_dilated(
-            x[None, None, :, :], kern, (1, 1), "VALID",
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        )[0, 0]
-
-    ix = conv1d(conv1d(img, diff, axis=1), smooth, axis=0)
-    iy = conv1d(conv1d(img, diff, axis=0), smooth, axis=1)
+    smooth = (3.0 / 16.0, 10.0 / 16.0, 3.0 / 16.0)
+    diff = (-0.5, 0.0, 0.5)
+    ix = _filter1d(_filter1d(img, diff, 1), smooth, 0)
+    iy = _filter1d(_filter1d(img, diff, 0), smooth, 1)
     return ix, iy
