@@ -35,6 +35,8 @@ class LKParams(NamedTuple):
     levels: int = 4
     iters: int = 10
     eps: float = 0.01
+    # "auto": Pallas kernel on TPU, jnp reference elsewhere.
+    backend: str = "auto"
     # Per-pixel min eigenvalue of the spatial gradient matrix, for images in
     # [0, 1] (OpenCV's 1e-4 default assumes 0-255 units; /255^2 ~= 1.5e-9,
     # we gate a bit harder to kill flat/aperture patches).
@@ -101,6 +103,18 @@ def _track_level(
     return new_guess, resid, ok
 
 
+def _dispatch_level(ref_img, cur_img, ref_pts, guesses, params: LKParams):
+    """Pick the Pallas kernel on TPU, the jnp reference elsewhere."""
+    use_pallas = params.backend == "pallas" or (
+        params.backend == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        from ros_stereo_slam_tpu.ops import lk_pallas
+
+        return lk_pallas.track_level(ref_img, cur_img, ref_pts, guesses, params)
+    return _track_level(ref_img, cur_img, ref_pts, guesses, params)
+
+
 @partial(jax.jit, static_argnames=("params",))
 def track(
     ref_pyr: tuple,
@@ -132,7 +146,7 @@ def track(
         s = float(2**lvl)
         ref_lvl = ref_pts / s
         h_l, w_l = ref_pyr[lvl].shape
-        tracked, resid, ok = _track_level(
+        tracked, resid, ok = _dispatch_level(
             ref_pyr[lvl], cur_pyr[lvl], ref_lvl, guesses, params
         )
         inb = interp.in_bounds(ref_lvl, h_l, w_l, margin) & interp.in_bounds(
