@@ -37,6 +37,7 @@ class FrontendConfig:
 
     grid_step: int = 30  # px; reference src/tracking.cpp:4-12 (stepSize=30)
     max_points: int = 1536  # static capacity for tracked points (mult of 128)
+    sampler: str = "grid"  # "grid" (reference C2) or "anms" (FAST + C3)
     # Pyramidal LK (reference uses OpenCV defaults: win 21, 3 levels + base,
     # 30 iters; Python proto src/ROSslam.py:145 same).
     lk_window: int = 21

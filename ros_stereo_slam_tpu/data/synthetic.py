@@ -77,6 +77,7 @@ class SyntheticWorld:
     speed: float = 0.8  # meters / frame
     yaw_rate: float = 0.004  # radians / frame
     tex_size: int = 512
+    custom_poses: np.ndarray | None = None  # optional (N, 4, 4) override
     poses: np.ndarray = field(init=False)  # (N, 4, 4) world-from-cam
 
     def __post_init__(self):
@@ -85,7 +86,11 @@ class SyntheticWorld:
         # World textures: one big background plane far away + floor-ish noise.
         self.tex_far = _smooth_noise_2d((self.tex_size, self.tex_size), rng, octaves=5, base_period=96)
         self.tex_near = _smooth_noise_2d((self.tex_size, self.tex_size), rng, octaves=6, base_period=24)
-        self.poses = self._make_trajectory()
+        if self.custom_poses is not None:
+            self.poses = np.asarray(self.custom_poses, dtype=np.float64)
+            self.n_frames = self.poses.shape[0]
+        else:
+            self.poses = self._make_trajectory()
 
     def _make_trajectory(self) -> np.ndarray:
         poses = np.zeros((self.n_frames, 4, 4), dtype=np.float64)
@@ -209,7 +214,10 @@ def _bilinear(img: np.ndarray, y: np.ndarray, x: np.ndarray) -> np.ndarray:
     )
 
 
-def small_world(n_frames: int = 16, seed: int = 0, scale: int = 2) -> SyntheticWorld:
+def small_world(
+    n_frames: int = 16, seed: int = 0, scale: int = 2,
+    custom_poses: np.ndarray | None = None,
+) -> SyntheticWorld:
     """A reduced-resolution world for fast unit tests."""
     cam = CameraConfig(
         fx=718.856 / scale,
@@ -219,4 +227,28 @@ def small_world(n_frames: int = 16, seed: int = 0, scale: int = 2) -> SyntheticW
         width=1241 // scale,
         height=376 // scale,
     )
-    return SyntheticWorld(camera=cam, n_frames=n_frames, seed=seed)
+    return SyntheticWorld(
+        camera=cam, n_frames=n_frames, seed=seed, custom_poses=custom_poses
+    )
+
+
+def loop_trajectory(n_frames: int, radius: float = 2.5, overlap: int = 6) -> np.ndarray:
+    """A closed circular path inside the corridor (for loop-closure tests).
+
+    The camera flies tangentially around a circle of `radius`, completing a
+    full revolution in n_frames - overlap steps, then re-traversing the
+    first `overlap` poses exactly — a true revisit.
+    """
+    steps = n_frames - overlap
+    poses = np.zeros((n_frames, 4, 4))
+    for i in range(n_frames):
+        th = 2 * np.pi * (i % steps) / steps
+        c, s = np.cos(th), np.sin(th)
+        # Position on the circle (in the corridor's x-z plane), heading
+        # tangential (+z at th=0).
+        t = np.array([radius * (1 - c), 0.0, radius * s])
+        R = np.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]])
+        poses[i] = np.eye(4)
+        poses[i, :3, :3] = R
+        poses[i, :3, 3] = t
+    return poses

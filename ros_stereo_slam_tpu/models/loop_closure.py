@@ -1,0 +1,225 @@
+"""BoW loop-closure detector (reference C9).
+
+Re-implements the vendored DLoopDetector pipeline
+(``/root/reference/include/TemplatedLoopDetector.h:697-861`` ``detectLoop``)
+the TPU way:
+
+- database scoring: the inverted index + pointer-chasing query becomes a
+  dense masked L1-score over a device-resident (capacity, n_words) BoW
+  matrix — one vectorized pass, no per-word lists;
+- normalized-similarity gate (min_nss, ``:733-740``), removeLowScores
+  (alpha, ``:748``);
+- island grouping (``computeIslands`` ``:875-949``) and the temporal
+  consistency window (``:966-1001``) as small host logic over the top-K
+  candidates (data-dependent, tiny);
+- geometric check: the direct-index descriptor matching + neighbour-ratio
+  + F-matrix RANSAC (``isGeometricallyConsistent_DI`` ``:1006-1087``)
+  becomes a brute-force Hamming matmul on the MXU (strictly more matches
+  than the direct-index shortlist, which exists only to save CPU time)
+  + the same ratio test + the batched 8-point RANSAC of
+  :mod:`ros_stereo_slam_tpu.ops.ransac` (min 12 inliers at 2 px,
+  ``Parameters`` defaults ``:100-180``).
+
+The driver-level accept rule (query - match > 100 frames + 100-frame
+cooldown, ``src/optimizationStuff.cpp:59-63``) lives in the caller.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ros_stereo_slam_tpu.config import LoopClosureConfig
+from ros_stereo_slam_tpu.models import vocab as vocab_mod
+from ros_stereo_slam_tpu.ops import orb as orb_mod
+from ros_stereo_slam_tpu.ops import ransac
+
+
+@dataclass
+class LoopCandidate:
+    query: int
+    match: int
+    score: float
+    n_inliers: int
+    consistent: int  # temporal-consistency count at acceptance
+
+
+@partial(jax.jit, static_argnames=("top_k",))
+def _query_scores(
+    bow: jnp.ndarray,
+    db_bow: jnp.ndarray,
+    db_valid: jnp.ndarray,
+    max_id: jnp.ndarray,
+    db_ids: jnp.ndarray,
+    top_k: int,
+):
+    """Masked L1 scores of `bow` vs the db; returns (top ids, top scores)."""
+    s = vocab_mod.score_l1(bow, db_bow)
+    ok = db_valid & (db_ids <= max_id)
+    s = jnp.where(ok, s, -1e9)
+    vals, idx = jax.lax.top_k(s, top_k)
+    return db_ids[idx], vals
+
+
+@jax.jit
+def _geom_match(
+    sign_q: jnp.ndarray, pts_q: jnp.ndarray, valid_q: jnp.ndarray,
+    sign_m: jnp.ndarray, pts_m: jnp.ndarray, valid_m: jnp.ndarray,
+    key: jax.Array, thresh_px: jnp.ndarray, ratio: jnp.ndarray,
+):
+    """Brute-force descriptor matching + ratio test + F-RANSAC."""
+    ham = orb_mod.hamming_mxu(sign_q, sign_m)  # (N, M)
+    ham = jnp.where(valid_m[None, :], ham, 1e9)
+    # two smallest distances per query row
+    neg2, idx2 = jax.lax.top_k(-ham, 2)
+    best = idx2[:, 0]
+    d1 = -neg2[:, 0]
+    d2 = -neg2[:, 1]
+    good = valid_q & (d1 < ratio * d2) & (d1 < 1e8)
+    m_pts = pts_m[best]
+    res = ransac.fmat_ransac(
+        key, pts_q, m_pts, good, thresh_px=thresh_px, iters=256
+    )
+    return res.n_inliers
+
+
+@dataclass
+class LoopDetector:
+    """Streaming detector over a fixed-capacity device database."""
+
+    vocab: vocab_mod.Vocabulary
+    config: LoopClosureConfig
+    # device-side database
+    db_bow: jnp.ndarray = field(init=False)
+    db_sign: jnp.ndarray = field(init=False)
+    db_pts: jnp.ndarray = field(init=False)
+    db_pt_valid: jnp.ndarray = field(init=False)
+    db_valid: jnp.ndarray = field(init=False)
+    db_ids: jnp.ndarray = field(init=False)
+
+    def __post_init__(self):
+        cap = self.config.db_capacity
+        nf = self.config.orb_features
+        nw = self.vocab.n_words
+        self.db_bow = jnp.zeros((cap, nw), jnp.float32)
+        self.db_sign = jnp.zeros((cap, nf, orb_mod.N_BITS), jnp.float32)
+        self.db_pts = jnp.zeros((cap, nf, 2), jnp.float32)
+        self.db_pt_valid = jnp.zeros((cap, nf), bool)
+        self.db_valid = jnp.zeros((cap,), bool)
+        self.db_ids = jnp.full((cap,), -1, jnp.int32)
+        self._idf = jnp.asarray(self.vocab.idf)
+        self._last_bow = None
+        self._window: list[tuple[int, int, int]] = []  # (query, isl_lo, isl_hi)
+        self._key = jax.random.PRNGKey(77)
+
+    # -- internals ---------------------------------------------------------
+
+    def _bow_of(self, feats: orb_mod.OrbFeatures) -> jnp.ndarray:
+        words = vocab_mod.transform_words(self.vocab, feats.desc_sign)
+        return vocab_mod.bow_row(words, feats.valid, self._idf, self.vocab.n_words)
+
+    def _islands(self, ids: np.ndarray, scores: np.ndarray):
+        """Group candidate entries into islands of near-consecutive ids.
+
+        Mirrors computeIslands (TemplatedLoopDetector.h:875-949): entries
+        sorted by id, split when the id gap exceeds 3; island score = sum;
+        representative = argmax entry.
+        """
+        order = np.argsort(ids)
+        islands = []  # (sum_score, best_id, best_score, lo, hi)
+        cur = None
+        for i in order:
+            if ids[i] < 0:
+                continue
+            if cur is not None and ids[i] - cur[4] <= 3:
+                cur[0] += scores[i]
+                cur[4] = ids[i]
+                if scores[i] > cur[2]:
+                    cur[1], cur[2] = ids[i], scores[i]
+            else:
+                if cur is not None:
+                    islands.append(cur)
+                cur = [scores[i], ids[i], scores[i], ids[i], ids[i]]
+        if cur is not None:
+            islands.append(cur)
+        return islands
+
+    # -- public API --------------------------------------------------------
+
+    def add(self, frame_id: int, feats: orb_mod.OrbFeatures, bow: jnp.ndarray | None = None):
+        if bow is None:
+            bow = self._bow_of(feats)
+        slot = frame_id % self.config.db_capacity
+        self.db_bow = self.db_bow.at[slot].set(bow)
+        self.db_sign = self.db_sign.at[slot].set(feats.desc_sign)
+        self.db_pts = self.db_pts.at[slot].set(feats.pts)
+        self.db_pt_valid = self.db_pt_valid.at[slot].set(feats.valid)
+        self.db_valid = self.db_valid.at[slot].set(True)
+        self.db_ids = self.db_ids.at[slot].set(frame_id)
+        self._last_bow = bow
+
+    def detect(self, frame_id: int, feats: orb_mod.OrbFeatures) -> LoopCandidate | None:
+        """Run detection for the frame, then add it to the database."""
+        cfg = self.config
+        bow = self._bow_of(feats)
+        result = None
+        if self._last_bow is not None and frame_id > cfg.dislocal:
+            ns = float(vocab_mod.score_l1(bow, self._last_bow[None, :])[0])
+            ids_d, scores_d = _query_scores(
+                bow, self.db_bow, self.db_valid,
+                jnp.int32(frame_id - cfg.dislocal - 1), self.db_ids,
+                cfg.max_db_results,
+            )
+            ids = np.asarray(ids_d)
+            scores = np.asarray(scores_d)
+            if ns >= cfg.min_nss and scores.size and scores[0] > 0:
+                # normalized scores + removeLowScores(alpha * best)
+                nss = scores / max(ns, 1e-6)
+                keep = nss >= cfg.alpha * nss[0]
+                keep &= scores > -1e8
+                islands = self._islands(ids[keep], nss[keep])
+                if islands:
+                    best = max(islands, key=lambda g: g[0])
+                    _, best_id, best_score, lo, hi = best
+                    # temporal consistency: previous queries matched nearby
+                    # islands (window overlap within +-3 ids, k consecutive).
+                    consistent = 0
+                    for (q, plo, phi) in reversed(self._window):
+                        if frame_id - q > 3:
+                            break
+                        if lo <= phi + 3 and hi >= plo - 3:
+                            consistent += 1
+                            lo = min(lo, plo)
+                            hi = max(hi, phi)
+                        else:
+                            break
+                    self._window.append((frame_id, best[3], best[4]))
+                    if consistent >= cfg.k_consistency:
+                        slot = best_id % cfg.db_capacity
+                        self._key, k = jax.random.split(self._key)
+                        n_inl = int(
+                            _geom_match(
+                                feats.desc_sign, feats.pts, feats.valid,
+                                self.db_sign[slot], self.db_pts[slot],
+                                self.db_pt_valid[slot],
+                                k, jnp.float32(cfg.geom_thresh_px),
+                                jnp.float32(cfg.neigh_ratio),
+                            )
+                        )
+                        if n_inl >= cfg.geom_min_points:
+                            result = LoopCandidate(
+                                query=frame_id, match=int(best_id),
+                                score=float(best_score), n_inliers=n_inl,
+                                consistent=consistent,
+                            )
+                else:
+                    self._window.append((frame_id, -10, -10))
+            else:
+                self._window.append((frame_id, -10, -10))
+            self._window = self._window[-8:]
+        self.add(frame_id, feats, bow)
+        return result

@@ -1,0 +1,208 @@
+"""Full stereo SLAM driver: odometry + loop closure + pose-graph backend.
+
+Mirrors the reference frame flow (``/root/reference/src/VisualSLAM.cpp:54-200``,
+SURVEY.md §3.1/§3.4):
+
+1. temporal track + PnP           (fused device step, models/step.py)
+2. loop detection on the left img (``checkLoopDetectorStatus`` :69)
+3. on acceptance: loop edge to ``match - 1`` (``LCidx`` semantics,
+   ``src/optimizationStuff.cpp:59-63``) + odometry node, globalOptimize,
+   trajectory + keyframe-cloud rewrite (``updateOdometry``)
+4. keyframe branch (inliers < threshold or LC flag) — on LC frames the
+   feature set is re-triangulated at the OPTIMIZED pose so tracking
+   continues in the corrected frame (reference :120-146)
+
+Driver-level accept rule: ``query - match > min_separation`` and a
+cooldown counter, exactly as ``checkLoopDetectorStatus``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ros_stereo_slam_tpu.config import PipelineConfig
+from ros_stereo_slam_tpu.models import loop_closure, pose_graph, step as step_mod
+from ros_stereo_slam_tpu.models import vocab as vocab_mod
+from ros_stereo_slam_tpu.models.pipeline import FrameInfo, _grid_for, map_points_of
+from ros_stereo_slam_tpu.ops import orb
+from ros_stereo_slam_tpu.utils import lie
+
+
+@dataclass
+class LoopEvent:
+    query: int
+    match: int
+    n_inliers: int
+
+
+@dataclass
+class StereoSLAM:
+    """Streaming SLAM over the fused device step + BoW/PGO backend."""
+
+    config: PipelineConfig
+    vocab: vocab_mod.Vocabulary | None = None
+    frame_count: int = field(init=False, default=0)
+
+    def __post_init__(self):
+        self.grid_pts, self.grid_mask = _grid_for(self.config)
+        self._carry = None
+        self.trajectory_dev = None  # (F, 4, 4) device array
+        self.graph = pose_graph.PoseGraph(self.config.pgo)
+        self.detector = (
+            loop_closure.LoopDetector(vocab=self.vocab, config=self.config.loop)
+            if (self.vocab is not None and self.config.loop.enabled)
+            else None
+        )
+        self.cooldown = 0
+        self.loop_events: list[LoopEvent] = []
+        self.keyframe_frames: list[int] = []
+        self.tracking_failed = False
+        self._infos: list[FrameInfo] = []
+
+    # -- helpers -----------------------------------------------------------
+
+    def _append_pose(self, T_wc: jnp.ndarray):
+        f = self.frame_count
+        self.trajectory_dev = self.trajectory_dev.at[f].set(T_wc)
+
+    def _detect_loop(self, left_dev: jnp.ndarray) -> loop_closure.LoopCandidate | None:
+        if self.detector is None:
+            return None
+        feats = orb.detect_and_compute(left_dev, self.config.loop.orb_features)
+        cand = self.detector.detect(self.frame_count, feats)
+        if self.cooldown > 0:
+            self.cooldown -= 1
+            return None
+        if cand is None:
+            return None
+        if cand.query - cand.match <= self.config.loop.min_separation:
+            return None
+        self.cooldown = self.config.loop.cooldown
+        return cand
+
+    # -- public API --------------------------------------------------------
+
+    def initialize(self, left: np.ndarray, right: np.ndarray) -> FrameInfo:
+        cfg = self.config
+        left_dev = jnp.asarray(left, jnp.float32)
+        right_dev = jnp.asarray(right, jnp.float32)
+        self._carry = step_mod.init_carry(
+            left_dev, right_dev, self.grid_pts, self.grid_mask,
+            jax.random.PRNGKey(cfg.seed), cfg,
+        )
+        F = cfg.pgo.max_poses
+        self.trajectory_dev = jnp.tile(jnp.eye(4, dtype=jnp.float32), (F, 1, 1))
+        self.graph.initialize()
+        if self.detector is not None:
+            feats = orb.detect_and_compute(left_dev, cfg.loop.orb_features)
+            self.detector.add(0, feats)
+        n = int(jnp.sum(self._carry.track.mask))
+        self.keyframe_frames.append(0)
+        self.frame_count = 1
+        info = FrameInfo(
+            frame=0, T_wc=np.eye(4, dtype=np.float32), n_tracked=n,
+            n_inliers=n, is_keyframe=True, tracking_ok=True, used_retry=False,
+        )
+        self._infos.append(info)
+        return info
+
+    def process_frame(self, left: np.ndarray, right: np.ndarray) -> FrameInfo:
+        cfg = self.config
+        left_dev = jnp.asarray(left, jnp.float32)
+        right_dev = jnp.asarray(right, jnp.float32)
+        prev_T = self._carry.T_wc
+
+        # 1) fused odometry step (track + PnP + keyframe trigger on device)
+        self._carry, stats = step_mod.slam_frame_step(
+            self._carry, left_dev, right_dev, self.grid_pts, self.grid_mask, cfg
+        )
+        T_wc = self._carry.T_wc
+        # odometry edge for the pose graph: Z = prev^-1 cur
+        Z = lie.inv_se3(prev_T) @ T_wc
+        self.graph.add_odometry(Z)
+        self._append_pose(T_wc)
+
+        # 2) loop detection on the current left image
+        cand = self._detect_loop(left_dev)
+        loop_closed = False
+        if cand is not None:
+            # 3) loop edge to match-1 (LCidx), identity measurement; then
+            # global optimization + trajectory/map rewrite.
+            lc_idx = max(cand.match - 1, 0)
+            self.graph.add_loop(cand.query, lc_idx)
+            old_poses = self.trajectory_dev
+            new_poses = self.graph.optimize(old_poses)
+            # keyframe clouds + poses follow the corrected trajectory
+            kf = self._carry.keyframes
+            new_points = pose_graph.rewrite_points(
+                kf.points, kf.frame_idx, old_poses, new_poses
+            )
+            kf = kf._replace(
+                points=new_points,
+                poses=new_poses[kf.frame_idx],
+                retrack=kf.retrack | kf.valid,
+            )
+            T_opt = new_poses[cand.query]
+            self.trajectory_dev = new_poses
+            # 4) rebuild the live feature set at the optimized pose
+            #    (reference forces a keyframe on LC, :120-146)
+            left_pyr = self._carry.ref_pyr
+            import ros_stereo_slam_tpu.ops.pyramid as pyr_mod
+
+            right_pyr = tuple(
+                pyr_mod.build_pyramid(right_dev, cfg.frontend.lk_levels)
+            )
+            key = jax.random.fold_in(self._carry.key, 1234)
+            new_track = step_mod._bootstrap_track(
+                left_pyr, right_pyr, self.grid_pts, self.grid_mask,
+                T_opt, key, cfg,
+            )
+            kf = step_mod._insert_keyframe(
+                kf, new_track, T_opt, jnp.int32(self.frame_count)
+            )
+            self._carry = self._carry._replace(
+                track=new_track, T_wc=T_opt, keyframes=kf
+            )
+            self.loop_events.append(
+                LoopEvent(cand.query, cand.match, cand.n_inliers)
+            )
+            loop_closed = True
+
+        frame_idx = self.frame_count
+        self.frame_count += 1
+        info = FrameInfo(
+            frame=frame_idx,
+            T_wc=np.asarray(self._carry.T_wc),
+            n_tracked=int(stats.n_tracked),
+            n_inliers=int(stats.n_inliers),
+            is_keyframe=bool(stats.is_keyframe) or loop_closed,
+            tracking_ok=bool(stats.tracking_ok),
+            used_retry=bool(stats.used_retry),
+        )
+        if info.is_keyframe:
+            self.keyframe_frames.append(frame_idx)
+        if not info.tracking_ok:
+            self.tracking_failed = True
+        self._infos.append(info)
+        return info
+
+    # -- outputs -----------------------------------------------------------
+
+    def trajectory_array(self) -> np.ndarray:
+        return np.asarray(self.trajectory_dev[: self.frame_count])
+
+    def map_points(self) -> tuple[np.ndarray, np.ndarray]:
+        return map_points_of(self._carry.keyframes)
+
+    def save_graph(self, path: str) -> None:
+        self.graph.save(path, self.trajectory_array())
+
+    def save_map(self, path: str) -> int:
+        from ros_stereo_slam_tpu.utils import ply
+
+        pts, cols = self.map_points()
+        return ply.save_ply(path, pts, cols)

@@ -27,7 +27,17 @@ from jax import lax
 from ros_stereo_slam_tpu.config import PipelineConfig
 from ros_stereo_slam_tpu.models import frontend
 from ros_stereo_slam_tpu.models.state import KeyframeStore, TrackState
-from ros_stereo_slam_tpu.ops import lk, pnp, pyramid, ransac, triangulate, interp
+from ros_stereo_slam_tpu.ops import (
+    anms,
+    fast,
+    interp,
+    lk,
+    pnp,
+    pyramid,
+    ransac,
+    sor,
+    triangulate,
+)
 from ros_stereo_slam_tpu.utils import lie
 from ros_stereo_slam_tpu.utils.camera import Pinhole
 
@@ -58,12 +68,26 @@ def _cam_of(cfg: PipelineConfig) -> Pinhole:
     )
 
 
+def _sample_keypoints(left_pyr, grid_pts, grid_mask, cfg: PipelineConfig):
+    """Keypoint source: dense grid (reference C2, default) or FAST+ANMS
+    (reference C3 — ``src/ANMS.cpp:18-67``), selected statically."""
+    fe = cfg.frontend
+    if fe.sampler == "anms":
+        score = fast.fast_score(left_pyr[0], fe.fast_thresh / 255.0)
+        cand_pts, cand_scores, cand_mask = fast.top_corners(score, 4 * fe.max_points)
+        return anms.anms(
+            cand_pts, cand_scores, cand_mask, fe.max_points, fe.anms_robust_coeff
+        )
+    return grid_pts, grid_mask
+
+
 def _bootstrap_track(
     left_pyr, right_pyr, grid_pts, grid_mask, T_wc, key, cfg: PipelineConfig
 ) -> TrackState:
-    """Stereo LK -> F-gate -> triangulate -> world lift (C6, jit-inlined)."""
+    """Stereo LK -> F-gate -> triangulate -> SOR -> world lift (C6+C14)."""
     fe = cfg.frontend
     cam = _cam_of(cfg)
+    grid_pts, grid_mask = _sample_keypoints(left_pyr, grid_pts, grid_mask, cfg)
     res = lk.track(left_pyr, right_pyr, grid_pts, None, frontend._lk_params(fe))
     m = grid_mask & res.valid
     fres = ransac.fmat_ransac(
@@ -75,10 +99,17 @@ def _bootstrap_track(
         cam, jnp.float32(cfg.camera.baseline), grid_pts, res.points, m,
         max_depth=cfg.keyframes.max_depth,
     )
+    # Statistical outlier removal on the fresh cloud (reference applies
+    # SORcloud at keyframe insertion, src/VisualSLAM.cpp:128,154).
+    kfc = cfg.keyframes
+    clean = sor.sor_filter(
+        tri.points, tri.valid, mean_k=kfc.sor_mean_k,
+        std_mul=kfc.sor_std_mul, max_depth=kfc.max_depth,
+    )
     pts_world = lie.transform_points(T_wc, tri.points)
     gray = interp.bilinear_at(left_pyr[0], grid_pts)
     colors = jnp.stack([gray, gray, gray], axis=-1)
-    return TrackState(pts2d=grid_pts, pts3d=pts_world, colors=colors, mask=tri.valid)
+    return TrackState(pts2d=grid_pts, pts3d=pts_world, colors=colors, mask=clean)
 
 
 def _insert_keyframe(
@@ -123,10 +154,13 @@ def slam_frame_step(
     m = m & fres.inliers
     n_tracked = jnp.sum(m)
 
-    # --- PnP with on-device retry ladder (C7) ---
+    # --- PnP with on-device retry ladder (C7); the previous pose seeds a
+    # planar-safe GN hypothesis family (P6P DLT degenerates on walls) ---
+    T_prior = lie.inv_se3(carry.T_wc)
     p1 = pnp.pnp_ransac(
         k_pnp, cam, carry.track.pts3d, res.points, m,
         thresh_px=pc.thresh_px, iters=pc.iters, refine_iters=pc.refine_iters,
+        T_init=T_prior,
     )
     need_retry = p1.n_inliers < pc.min_inliers
 
@@ -134,7 +168,7 @@ def slam_frame_step(
         return pnp.pnp_ransac(
             k_retry, cam, carry.track.pts3d, res.points, m,
             thresh_px=pc.retry_thresh_px, iters=pc.iters,
-            refine_iters=pc.refine_iters,
+            refine_iters=pc.refine_iters, T_init=T_prior,
         )
 
     p = lax.cond(need_retry, retry, lambda _: p1, None)

@@ -146,15 +146,38 @@ def pnp_ransac(
     thresh_px: float | jnp.ndarray = 1.0,
     iters: int = 256,
     refine_iters: int = 8,
+    T_init: jnp.ndarray | None = None,
 ) -> PnPResult:
-    """RANSAC + GN PnP on (N, 3) world points vs (N, 2) observations."""
-    idx = _sample_minimal_sets(key, mask, iters, 6)  # (K, 6)
+    """RANSAC + GN PnP on (N, 3) world points vs (N, 2) observations.
+
+    `T_init` (optional 4x4 prior, e.g. the previous frame's pose): adds a
+    second hypothesis family — GN refinements of the prior on random
+    minimal subsets.  The P6P DLT is degenerate for coplanar landmarks
+    (single-wall / ground-plane views); prior-seeded GN hypotheses have no
+    such degeneracy and keep RANSAC alive on planar scenes.
+    """
+    k_dlt, k_gn = jax.random.split(key)
+    idx = _sample_minimal_sets(k_dlt, mask, iters, 6)  # (K, 6)
     Xs = pts3d[idx]  # (K, 6, 3)
     xn = jnp.stack(
         [(uv[..., 0] - cam.cx) / cam.fx, (uv[..., 1] - cam.cy) / cam.fy], axis=-1
     )
     xns = xn[idx]  # (K, 6, 2)
     Rk, tk = jax.vmap(_p6p_dlt)(Xs, xns)  # (K, 3, 3), (K, 3)
+
+    if T_init is not None:
+        n_gn = max(iters // 4, 16)
+        idx2 = _sample_minimal_sets(k_gn, mask, n_gn, 8)  # (K2, 8)
+        onehot = jnp.zeros((n_gn, pts3d.shape[0]), pts3d.dtype)
+        onehot = jax.vmap(lambda o, i: o.at[i].set(1.0))(onehot, idx2)
+
+        def gn_hyp(w):
+            return _gn_refine(cam, T_init, pts3d, uv, w, 5)
+
+        T_gn = jax.vmap(gn_hyp)(onehot)  # (K2, 4, 4)
+        Rk = jnp.concatenate([Rk, T_gn[:, :3, :3]], axis=0)
+        tk = jnp.concatenate([tk, T_gn[:, :3, 3]], axis=0)
+
     err = _reproj_errors(cam, Rk, tk, pts3d, uv)  # (K, N)
     inl = (err < thresh_px) & mask[None, :]
     counts = jnp.sum(inl, axis=1)
