@@ -56,23 +56,37 @@ def _edge_residual_jacobians(Ti, Tj, Z):
     return r, Ji, Jj
 
 
-@partial(jax.jit, static_argnames=("iters", "cg_iters"))
+@partial(jax.jit, static_argnames=("iters", "cg_iters", "axis_name"))
 def optimize(
-    poses: jnp.ndarray,  # (F, 4, 4) current estimates
+    poses: jnp.ndarray,  # (F, 4, 4) current estimates (replicated)
     n_poses: jnp.ndarray,  # () i32 number of valid poses
-    odo_Z: jnp.ndarray,  # (F, 4, 4); odo_Z[i] transforms vertex i-1 -> i
-    loop_i: jnp.ndarray,  # (L,) i32 edge endpoints (i older? order free)
+    odo_Z: jnp.ndarray,  # (E, 4, 4); measurement for edge (idx-1 -> idx)
+    loop_i: jnp.ndarray,  # (L,) i32 edge endpoints
     loop_j: jnp.ndarray,  # (L,) i32
     loop_Z: jnp.ndarray,  # (L, 4, 4) loop measurements (identity in ref)
     loop_valid: jnp.ndarray,  # (L,) bool
     iters: int = 10,
     cg_iters: int = 64,
     damping: float = 1e-6,
+    odo_idx: jnp.ndarray | None = None,  # (E,) vertex ids; default arange(F)
+    axis_name: str | None = None,
 ) -> jnp.ndarray:
-    """Gauss-Newton over the pose chain; returns optimized (F, 4, 4)."""
+    """Gauss-Newton over the pose chain; returns optimized (F, 4, 4).
+
+    With `axis_name` set (inside ``shard_map``): the ODOMETRY EDGES are
+    partitioned across the mesh (odo_Z/odo_idx are local chunks, the
+    pose array stays replicated), each device assembles its share of the
+    normal-equation terms, and the contributions are combined with psum —
+    the 'partitioned chain GN with psum-reduced normal equations' layout
+    of SURVEY.md §2.  Loop edges must be valid on exactly one shard.
+    """
+
+    def allsum(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
+
     F = poses.shape[0]
-    idx = jnp.arange(F)
-    # Odometry edge e connects (e, e+1) for e in [0, n-1); masked beyond.
+    idx = jnp.arange(F) if odo_idx is None else odo_idx
+    # Odometry edge e connects (idx-1, idx), valid for 1 <= idx < n.
     odo_valid = (idx >= 1) & (idx < n_poses)
 
     def gn_step(_, T):
@@ -92,7 +106,9 @@ def optimize(
         w_l = loop_valid.astype(poses.dtype)
 
         # Gauge fixing: vertex 0 is constant (reference poseGraph.h:74).
-        free = (idx > 0) & (idx < n_poses)
+        # (Over POSES — distinct from `idx`, which enumerates edges and is
+        # a local chunk under edge sharding.)
+        free = (jnp.arange(F) > 0) & (jnp.arange(F) < n_poses)
 
         def mask_vertex(J, vid):
             ok = (vid > 0) & (vid < n_poses)
@@ -113,6 +129,7 @@ def optimize(
         b = b.at[idx].add(-jnp.einsum("eab,ea->eb", Jj_o, r_o_w))
         b = b.at[loop_i].add(-jnp.einsum("eab,ea->eb", Ji_l, r_l_w))
         b = b.at[loop_j].add(-jnp.einsum("eab,ea->eb", Jj_l, r_l_w))
+        b = allsum(b)
 
         # --- block-diagonal of H for the Jacobi preconditioner ---
         D = jnp.zeros((F, 6, 6), poses.dtype)
@@ -120,7 +137,7 @@ def optimize(
         D = D.at[idx].add(jnp.einsum("eab,eac->ebc", Jj_o, Jj_o))
         D = D.at[loop_i].add(jnp.einsum("eab,eac->ebc", Ji_l, Ji_l))
         D = D.at[loop_j].add(jnp.einsum("eab,eac->ebc", Jj_l, Jj_l))
-        D = D + (damping + 1e-8) * jnp.eye(6, dtype=poses.dtype)[None]
+        D = allsum(D) + (damping + 1e-8) * jnp.eye(6, dtype=poses.dtype)[None]
         D_inv = jnp.linalg.inv(D)
 
         def hx(x):
@@ -142,7 +159,7 @@ def optimize(
             out = out.at[idx].add(jnp.einsum("eab,ea->eb", Jj_o, t_o))
             out = out.at[loop_i].add(jnp.einsum("eab,ea->eb", Ji_l, t_l))
             out = out.at[loop_j].add(jnp.einsum("eab,ea->eb", Jj_l, t_l))
-            return out + damping * x
+            return allsum(out) + damping * x
 
         # --- preconditioned CG ---
         def precond(v):

@@ -157,15 +157,21 @@ class StereoSLAM:
                 pyr_mod.build_pyramid(right_dev, cfg.frontend.lk_levels)
             )
             key = jax.random.fold_in(self._carry.key, 1234)
-            new_track = step_mod._bootstrap_track(
+            new_track, r_uv, r_mask = step_mod._bootstrap_track(
                 left_pyr, right_pyr, self.grid_pts, self.grid_mask,
                 T_opt, key, cfg,
             )
             kf = step_mod._insert_keyframe(
                 kf, new_track, T_opt, jnp.int32(self.frame_count)
             )
+            new_ba = (
+                step_mod._ba_reset(new_track, r_uv, r_mask, T_opt,
+                                   new_track.pts2d, cfg)
+                if cfg.ba_enabled
+                else None
+            )
             self._carry = self._carry._replace(
-                track=new_track, T_wc=T_opt, keyframes=kf
+                track=new_track, T_wc=T_opt, keyframes=kf, ba=new_ba
             )
             self.loop_events.append(
                 LoopEvent(cand.query, cand.match, cand.n_inliers)

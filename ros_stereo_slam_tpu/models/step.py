@@ -49,6 +49,38 @@ class FrameStats(NamedTuple):
     is_keyframe: jnp.ndarray  # () bool
     tracking_ok: jnp.ndarray  # () bool
     used_retry: jnp.ndarray  # () bool
+    ba_rms: jnp.ndarray  # () f32 — post-BA reprojection RMS (0 if disabled)
+
+
+class BAState(NamedTuple):
+    """Sliding observation window for local bundle adjustment (C13).
+
+    Ring of the last W frames' tracked 2D observations of the CURRENT
+    landmark set, plus the stereo right-view observations captured at the
+    landmark set's keyframe — the scale anchor (monocular BA has a free
+    global-scale gauge; the right view pins it through the landmarks).
+    """
+
+    obs_uv: jnp.ndarray  # (W, N, 2)
+    obs_mask: jnp.ndarray  # (W, N) bool
+    T_cw: jnp.ndarray  # (W, 4, 4) cam-from-world of ring frames
+    right_uv: jnp.ndarray  # (N, 2) right-cam obs at the keyframe
+    right_mask: jnp.ndarray  # (N,) bool
+    T_cw_right: jnp.ndarray  # (4, 4) right-cam pose (fixed)
+    n_frames: jnp.ndarray  # () i32 — frames pushed since last keyframe
+
+    @staticmethod
+    def empty(window: int, n: int) -> "BAState":
+        eye = jnp.eye(4, dtype=jnp.float32)
+        return BAState(
+            obs_uv=jnp.zeros((window, n, 2), jnp.float32),
+            obs_mask=jnp.zeros((window, n), bool),
+            T_cw=jnp.tile(eye, (window, 1, 1)),
+            right_uv=jnp.zeros((n, 2), jnp.float32),
+            right_mask=jnp.zeros((n,), bool),
+            T_cw_right=eye,
+            n_frames=jnp.int32(0),
+        )
 
 
 class SlamCarry(NamedTuple):
@@ -58,6 +90,7 @@ class SlamCarry(NamedTuple):
     ref_pyr: tuple  # pyramid of the previous left image
     key: jax.Array
     frame_idx: jnp.ndarray  # () i32
+    ba: BAState | None = None  # present iff cfg.ba_enabled
 
 
 def _cam_of(cfg: PipelineConfig) -> Pinhole:
@@ -83,8 +116,12 @@ def _sample_keypoints(left_pyr, grid_pts, grid_mask, cfg: PipelineConfig):
 
 def _bootstrap_track(
     left_pyr, right_pyr, grid_pts, grid_mask, T_wc, key, cfg: PipelineConfig
-) -> TrackState:
-    """Stereo LK -> F-gate -> triangulate -> SOR -> world lift (C6+C14)."""
+) -> tuple[TrackState, jnp.ndarray, jnp.ndarray]:
+    """Stereo LK -> F-gate -> triangulate -> SOR -> world lift (C6+C14).
+
+    Returns (track, right_uv, right_mask) — the right-view matches feed
+    the BA window's scale anchor.
+    """
     fe = cfg.frontend
     cam = _cam_of(cfg)
     grid_pts, grid_mask = _sample_keypoints(left_pyr, grid_pts, grid_mask, cfg)
@@ -109,7 +146,71 @@ def _bootstrap_track(
     pts_world = lie.transform_points(T_wc, tri.points)
     gray = interp.bilinear_at(left_pyr[0], grid_pts)
     colors = jnp.stack([gray, gray, gray], axis=-1)
-    return TrackState(pts2d=grid_pts, pts3d=pts_world, colors=colors, mask=clean)
+    track = TrackState(pts2d=grid_pts, pts3d=pts_world, colors=colors, mask=clean)
+    return track, res.points, clean
+
+
+def _right_cam_pose(T_wc: jnp.ndarray, baseline) -> jnp.ndarray:
+    """Cam-from-world of the RIGHT camera: shift by -baseline along cam x."""
+    shift = jnp.eye(4, dtype=T_wc.dtype).at[0, 3].set(-baseline)
+    return shift @ lie.inv_se3(T_wc)
+
+
+def _ba_reset(
+    track: TrackState, right_uv, right_mask, T_wc, left_uv, cfg: PipelineConfig
+) -> BAState:
+    """Fresh window after a (re)bootstrap: slot 0 = the keyframe's left
+    observations; right-view obs pin scale."""
+    st = BAState.empty(cfg.ba.window, cfg.frontend.max_points)
+    T_cw = lie.inv_se3(T_wc)
+    return st._replace(
+        obs_uv=st.obs_uv.at[0].set(left_uv),
+        obs_mask=st.obs_mask.at[0].set(track.mask),
+        T_cw=st.T_cw.at[0].set(T_cw),
+        right_uv=right_uv,
+        right_mask=right_mask,
+        T_cw_right=_right_cam_pose(T_wc, cfg.camera.baseline),
+        n_frames=jnp.int32(1),
+    )
+
+
+def _ba_refine(
+    ba: BAState, track: TrackState, T_wc, obs_uv, obs_mask, cfg: PipelineConfig
+):
+    """Push this frame's observations and run windowed Schur BA.
+
+    Returns (new_ba, refined T_wc, refined track, rms_after).
+    """
+    from ros_stereo_slam_tpu.models import bundle_adjust as ba_mod
+
+    W = cfg.ba.window
+    cam = _cam_of(cfg)
+    slot = ba.n_frames % W
+    ba = ba._replace(
+        obs_uv=ba.obs_uv.at[slot].set(obs_uv),
+        obs_mask=ba.obs_mask.at[slot].set(obs_mask),
+        T_cw=ba.T_cw.at[slot].set(lie.inv_se3(T_wc)),
+        n_frames=ba.n_frames + 1,
+    )
+    # Stack: slot 0 = right view (always fixed), 1.. = ring frames.
+    poses = jnp.concatenate([ba.T_cw_right[None], ba.T_cw], axis=0)
+    obs = jnp.concatenate([ba.right_uv[None], ba.obs_uv], axis=0)
+    masks = jnp.concatenate([ba.right_mask[None], ba.obs_mask], axis=0)
+    # Fix the right view + the oldest ring frame (gauge + scale anchor).
+    oldest = jnp.where(ba.n_frames <= W, 0, ba.n_frames % W)
+    ring_ids = jnp.arange(W)
+    ring_unused = ring_ids >= ba.n_frames  # slots never written
+    fixed = jnp.concatenate(
+        [jnp.ones((1,), bool), (ring_ids == oldest) | ring_unused]
+    )
+    res = ba_mod.ba_solve(
+        cam, poses, track.pts3d, obs, masks, fixed,
+        iters=cfg.ba.iters, damping=cfg.ba.damping, huber_px=cfg.ba.huber_px,
+    )
+    ba = ba._replace(T_cw=res.T_cw[1:])
+    T_wc_new = lie.inv_se3(res.T_cw[1 + slot])
+    track = track._replace(pts3d=res.landmarks)
+    return ba, T_wc_new, track, res.rms_after
 
 
 def _insert_keyframe(
@@ -175,19 +276,36 @@ def slam_frame_step(
     tracking_ok = p.n_inliers >= pc.min_inliers
     T_wc = jnp.where(tracking_ok, lie.inv_se3(p.T_cw), carry.T_wc)
 
+    # --- windowed Schur bundle adjustment (C13, config 4) ---
+    ba_state = carry.ba
+    track_cur = carry.track
+    ba_rms = jnp.float32(0.0)
+    if cfg.ba_enabled:
+        ba_state, T_wc, track_cur, ba_rms = _ba_refine(
+            ba_state, track_cur, T_wc, res.points, p.inliers & m, cfg
+        )
+
     # --- keyframe trigger + re-triangulation (C8) ---
     is_kf = (p.n_inliers < kfc.min_pnp_inliers) | (~tracking_ok)
 
     def kf_branch(_):
         right_pyr = tuple(pyramid.build_pyramid(right_img, fe.lk_levels))
-        return _bootstrap_track(
+        track, r_uv, r_mask = _bootstrap_track(
             cur_pyr, right_pyr, grid_pts, grid_mask, T_wc, k_kf, cfg
         )
+        if cfg.ba_enabled:
+            new_ba = _ba_reset(track, r_uv, r_mask, T_wc, track.pts2d, cfg)
+        else:
+            new_ba = None
+        return track, new_ba
 
     def continue_branch(_):
-        return carry.track._replace(pts2d=res.points, mask=p.inliers & m)
+        return (
+            track_cur._replace(pts2d=res.points, mask=p.inliers & m),
+            ba_state,
+        )
 
-    new_track = lax.cond(is_kf, kf_branch, continue_branch, None)
+    new_track, new_ba = lax.cond(is_kf, kf_branch, continue_branch, None)
     new_kf_store = lax.cond(
         is_kf,
         lambda s: _insert_keyframe(s, new_track, T_wc, carry.frame_idx),
@@ -202,6 +320,7 @@ def slam_frame_step(
         ref_pyr=cur_pyr,
         key=key,
         frame_idx=carry.frame_idx + 1,
+        ba=new_ba,
     )
     stats = FrameStats(
         T_wc=T_wc,
@@ -210,6 +329,7 @@ def slam_frame_step(
         is_keyframe=is_kf,
         tracking_ok=tracking_ok,
         used_retry=need_retry,
+        ba_rms=ba_rms,
     )
     return new_carry, stats
 
@@ -229,12 +349,19 @@ def init_carry(
     right_pyr = tuple(pyramid.build_pyramid(right_img, fe.lk_levels))
     key, k_b = jax.random.split(key)
     T0 = jnp.eye(4, dtype=jnp.float32)
-    track = _bootstrap_track(left_pyr, right_pyr, grid_pts, grid_mask, T0, k_b, cfg)
+    track, r_uv, r_mask = _bootstrap_track(
+        left_pyr, right_pyr, grid_pts, grid_mask, T0, k_b, cfg
+    )
     kf = KeyframeStore.empty(cfg.keyframes.max_keyframes, fe.max_points)
     kf = _insert_keyframe(kf, track, T0, jnp.int32(0))
+    ba = (
+        _ba_reset(track, r_uv, r_mask, T0, track.pts2d, cfg)
+        if cfg.ba_enabled
+        else None
+    )
     return SlamCarry(
         track=track, T_wc=T0, keyframes=kf, ref_pyr=left_pyr,
-        key=key, frame_idx=jnp.int32(1),
+        key=key, frame_idx=jnp.int32(1), ba=ba,
     )
 
 
