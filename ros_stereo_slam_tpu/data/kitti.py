@@ -68,6 +68,7 @@ class KittiSequence:
         self.dir_r = os.path.join(self.root, "sequences", self.seq, "image_1")
         self.pose_file = os.path.join(self.root, "poses", f"{self.seq}.txt")
         self.camera = camera_for_sequence(self.seq)
+        self._loaders = None
 
     @property
     def available(self) -> bool:
@@ -79,9 +80,29 @@ class KittiSequence:
         return len([f for f in os.listdir(self.dir_l) if f.endswith(".png")])
 
     def frame(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        if self._loaders is None:
+            self._init_loaders()
+        if self._loaders:
+            return self._loaders[0].get(i), self._loaders[1].get(i)
         left = _decode_png_gray(os.path.join(self.dir_l, f"{i:06d}.png"))
         right = _decode_png_gray(os.path.join(self.dir_r, f"{i:06d}.png"))
         return left, right
+
+    def _init_loaders(self):
+        """Use the native prefetching loader when the .so is available."""
+        from ros_stereo_slam_tpu.data.loader import PrefetchLoader, native_available
+
+        self._loaders = ()
+        if not native_available() or not self.available:
+            return
+        n = len(self)
+        lp = [os.path.join(self.dir_l, f"{i:06d}.png") for i in range(n)]
+        rp = [os.path.join(self.dir_r, f"{i:06d}.png") for i in range(n)]
+        c = self.camera
+        self._loaders = (
+            PrefetchLoader(lp, c.width, c.height),
+            PrefetchLoader(rp, c.width, c.height),
+        )
 
     def gt_poses(self) -> np.ndarray | None:
         """(N, 4, 4) ground-truth world-from-cam poses, or None."""

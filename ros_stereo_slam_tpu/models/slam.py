@@ -212,3 +212,77 @@ class StereoSLAM:
 
         pts, cols = self.map_points()
         return ply.save_ply(path, pts, cols)
+
+    # -- checkpoint / resume (SURVEY.md §5: the reference is save-only) ----
+
+    def _state_tree(self):
+        tree = {
+            "carry": self._carry,
+            "traj": self.trajectory_dev,
+            "graph": {
+                "odo_Z": self.graph.odo_Z,
+                "loop_i": self.graph.loop_i,
+                "loop_j": self.graph.loop_j,
+                "loop_Z": self.graph.loop_Z,
+                "loop_valid": self.graph.loop_valid,
+            },
+        }
+        if self.detector is not None:
+            d = self.detector
+            tree["det"] = {
+                "bow": d.db_bow, "sign": d.db_sign, "pts": d.db_pts,
+                "pt_valid": d.db_pt_valid, "valid": d.db_valid,
+                "ids": d.db_ids,
+                "last_bow": d._last_bow if d._last_bow is not None else jnp.zeros(
+                    (self.vocab.n_words,), jnp.float32
+                ),
+            }
+        return tree
+
+    def save_checkpoint(self, path: str) -> None:
+        from ros_stereo_slam_tpu.utils import checkpoint
+
+        meta = {
+            "frame_count": self.frame_count,
+            "cooldown": self.cooldown,
+            "graph_count": self.graph.count,
+            "n_loops": self.graph.n_loops,
+            "keyframe_frames": self.keyframe_frames,
+            "loop_events": [
+                [e.query, e.match, e.n_inliers] for e in self.loop_events
+            ],
+            "window": [list(w) for w in (self.detector._window if self.detector else [])],
+            "tracking_failed": self.tracking_failed,
+        }
+        checkpoint.save_pytree(path, self._state_tree(), meta)
+
+    def load_checkpoint(self, path: str) -> None:
+        """Restore into a SLAM object built with the SAME config + vocab
+        (must have been ``initialize``d once to materialize shapes)."""
+        from ros_stereo_slam_tpu.utils import checkpoint
+
+        tree, meta = checkpoint.load_pytree(path, self._state_tree())
+        self._carry = tree["carry"]
+        self.trajectory_dev = tree["traj"]
+        g = tree["graph"]
+        self.graph.odo_Z = g["odo_Z"]
+        self.graph.loop_i = g["loop_i"]
+        self.graph.loop_j = g["loop_j"]
+        self.graph.loop_Z = g["loop_Z"]
+        self.graph.loop_valid = g["loop_valid"]
+        if self.detector is not None and "det" in tree:
+            d = self.detector
+            dd = tree["det"]
+            d.db_bow, d.db_sign, d.db_pts = dd["bow"], dd["sign"], dd["pts"]
+            d.db_pt_valid, d.db_valid, d.db_ids = (
+                dd["pt_valid"], dd["valid"], dd["ids"]
+            )
+            d._last_bow = dd["last_bow"]
+            d._window = [tuple(w) for w in meta.get("window", [])]
+        self.frame_count = meta["frame_count"]
+        self.cooldown = meta["cooldown"]
+        self.graph.count = meta["graph_count"]
+        self.graph.n_loops = meta["n_loops"]
+        self.keyframe_frames = list(meta["keyframe_frames"])
+        self.loop_events = [LoopEvent(*e) for e in meta["loop_events"]]
+        self.tracking_failed = meta["tracking_failed"]

@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Run a SLAM preset over the synthetic ground-truth world.
+
+The synthetic analog of the reference's ``rosrun fusion SLAM``
+(``/root/reference/src/VisualSLAM.cpp:217-237``), with proper outputs:
+trajectory (KITTI + CSV + PNG), map.ply, poseGraph.g2o, metrics.jsonl,
+ATE/RPE summary.
+
+Examples:
+  python tools/run_synthetic.py --preset odometry --frames 32
+  python tools/run_synthetic.py --preset loop_closure --orbit --frames 80
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="odometry",
+                    choices=["odometry", "mapping", "loop_closure", "ba"])
+    ap.add_argument("--frames", type=int, default=32)
+    ap.add_argument("--orbit", action="store_true",
+                    help="closed circular trajectory (enables loop closure)")
+    ap.add_argument("--out", default="runs/synthetic")
+    ap.add_argument("--scale", type=int, default=2, help="resolution divisor")
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--seed", type=int, default=13)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import numpy as np
+
+    from ros_stereo_slam_tpu.config import PRESETS
+    from ros_stereo_slam_tpu.data.synthetic import loop_trajectory, small_world
+    from ros_stereo_slam_tpu.models import vocab as vocab_mod
+    from ros_stereo_slam_tpu.models.slam import StereoSLAM
+    from ros_stereo_slam_tpu.ops import orb
+    from ros_stereo_slam_tpu.utils.outputs import RunOutputs
+    from ros_stereo_slam_tpu.utils.profiling import FpsMeter, StageTimer
+
+    import dataclasses
+
+    poses = loop_trajectory(args.frames) if args.orbit else None
+    world = small_world(n_frames=args.frames, seed=args.seed, scale=args.scale,
+                        custom_poses=poses)
+    if args.orbit:
+        world.half_w = 10.0
+    cfg = PRESETS[args.preset]().replace(camera=world.camera)
+    # Scale sampling density and triggers with resolution (the defaults
+    # target full KITTI 1241x376).
+    cfg = cfg.replace(
+        frontend=dataclasses.replace(
+            cfg.frontend, grid_step=max(8, cfg.frontend.grid_step // args.scale)
+        ),
+        keyframes=dataclasses.replace(
+            cfg.keyframes, min_pnp_inliers=cfg.keyframes.min_pnp_inliers // args.scale
+        ),
+    )
+
+    print(f"[run] rendering {world.n_frames} frames...")
+    frames = [world.render(i)[:2] for i in range(world.n_frames)]
+
+    vocab = None
+    if cfg.loop.enabled:
+        import jax.numpy as jnp
+
+        print("[run] training vocabulary from sequence frames...")
+        descs, docs = [], []
+        for i in range(0, world.n_frames, 4):
+            f = orb.detect_and_compute(jnp.asarray(frames[i][0]),
+                                       cfg.loop.orb_features)
+            v = np.asarray(f.valid)
+            descs.append(np.asarray(f.desc_sign)[v])
+            docs.append(np.full(int(v.sum()), i))
+        vocab = vocab_mod.train(
+            np.concatenate(descs), k=4, levels=3, doc_ids=np.concatenate(docs)
+        )
+
+    slam = StereoSLAM(cfg, vocab=vocab)
+    out = RunOutputs(args.out)
+    timer = StageTimer()
+    fps = FpsMeter()
+
+    with timer.stage("initialize"):
+        info = slam.initialize(*frames[0])
+    out.log_frame(info)
+    for i in range(1, world.n_frames):
+        with timer.stage("frame"):
+            info = slam.process_frame(*frames[i])
+        out.log_frame(info, {"fps": round(fps.tick(), 2)})
+        if info.is_keyframe or not info.tracking_ok:
+            print(f"[run] f{info.frame}: inl={info.n_inliers} "
+                  f"kf={info.is_keyframe} ok={info.tracking_ok}")
+    for ev in slam.loop_events:
+        print(f"[run] LOOP {ev.query} -> {ev.match} ({ev.n_inliers} inliers)")
+
+    summary = out.finalize(slam, gt_poses=world.poses)
+    timer.dump(os.path.join(args.out, "stages.json"))
+    print(f"[run] summary: {summary}")
+
+
+if __name__ == "__main__":
+    main()
