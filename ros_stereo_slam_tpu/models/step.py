@@ -255,24 +255,17 @@ def slam_frame_step(
     m = m & fres.inliers
     n_tracked = jnp.sum(m)
 
-    # --- PnP with on-device retry ladder (C7); the previous pose seeds a
-    # planar-safe GN hypothesis family (P6P DLT degenerates on walls) ---
+    # --- PnP with the retry ladder folded into one solve (C7); the
+    # previous pose seeds a planar-safe GN hypothesis family (the P6P DLT
+    # degenerates on single-wall views) ---
     T_prior = lie.inv_se3(carry.T_wc)
-    p1 = pnp.pnp_ransac(
+    p = pnp.pnp_ransac(
         k_pnp, cam, carry.track.pts3d, res.points, m,
         thresh_px=pc.thresh_px, iters=pc.iters, refine_iters=pc.refine_iters,
-        T_init=T_prior,
+        T_init=T_prior, retry_thresh_px=pc.retry_thresh_px,
+        min_inliers=pc.min_inliers,
     )
-    need_retry = p1.n_inliers < pc.min_inliers
-
-    def retry(_):
-        return pnp.pnp_ransac(
-            k_retry, cam, carry.track.pts3d, res.points, m,
-            thresh_px=pc.retry_thresh_px, iters=pc.iters,
-            refine_iters=pc.refine_iters, T_init=T_prior,
-        )
-
-    p = lax.cond(need_retry, retry, lambda _: p1, None)
+    need_retry = p.used_retry
     tracking_ok = p.n_inliers >= pc.min_inliers
     T_wc = jnp.where(tracking_ok, lie.inv_se3(p.T_cw), carry.T_wc)
 

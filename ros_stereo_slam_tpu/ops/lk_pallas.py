@@ -40,7 +40,7 @@ from ros_stereo_slam_tpu.ops import lk as lk_ref
 _ROWS = 40
 _LANES = 256
 # Independent points processed together per loop trip (ILP).
-_UNROLL = 8
+_UNROLL = 16
 
 
 def _mix(patch: jnp.ndarray, fx, fy) -> jnp.ndarray:
@@ -70,9 +70,17 @@ def _select_tile(img_ref, yf, xf, n: int, H: int, W: int):
         pl.ds(pl.multiple_of(y8, 8), _ROWS),
         pl.ds(pl.multiple_of(x128, 128), _LANES),
     ]  # (40, 256)
-    # Dynamic rotates (VPU shuffles, exact): D[r, c] = big[iy + r, ix + c].
-    D = pltpu.roll(big, _LANES - ix, axis=1)
-    D = pltpu.roll(D, _ROWS - iy, axis=0)
+    # Column extraction as a one-hot MXU matmul (exact: 0/1 weights), then
+    # a small row rotate — the wide array is consumed once by the MXU and
+    # later VPU work happens on (40, 32) tiles.  A fully vectorized variant
+    # with stacked per-trip scratch tiles and segment-matmul reductions was
+    # tried and measured SLOWER (scratch round-trips beat the saved scalar
+    # reductions), so the register-resident per-point form stays.
+    k_col = jax.lax.broadcasted_iota(jnp.int32, (_LANES, 32), 0)
+    c_col = jax.lax.broadcasted_iota(jnp.int32, (_LANES, 32), 1)
+    CS = (k_col == c_col + ix).astype(jnp.float32)  # (256, 32)
+    cols = jnp.dot(big, CS, preferred_element_type=jnp.float32)  # (40, 32)
+    D = pltpu.roll(cols, _ROWS - iy, axis=0)
     return D[: n + 1, : n + 1], fx, fy
 
 

@@ -23,6 +23,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ros_stereo_slam_tpu.ops import linalg
 from ros_stereo_slam_tpu.ops.ransac import _sample_minimal_sets
 from ros_stereo_slam_tpu.utils import lie
 from ros_stereo_slam_tpu.utils.camera import Pinhole
@@ -33,6 +34,7 @@ class PnPResult(NamedTuple):
     inliers: jnp.ndarray  # (N,) bool
     n_inliers: jnp.ndarray  # () int32
     errors: jnp.ndarray  # (N,) reprojection error (px) under final pose
+    used_retry: jnp.ndarray  # () bool — loose-threshold ladder engaged
 
 
 def _p6p_dlt(X: jnp.ndarray, xn: jnp.ndarray) -> jnp.ndarray:
@@ -54,8 +56,7 @@ def _p6p_dlt(X: jnp.ndarray, xn: jnp.ndarray) -> jnp.ndarray:
     rows_u = jnp.concatenate([Xh, zeros, -xn[:, 0:1] * Xh], axis=1)
     rows_v = jnp.concatenate([zeros, Xh, -xn[:, 1:2] * Xh], axis=1)
     A = jnp.concatenate([rows_u, rows_v], axis=0)  # (12, 12)
-    _, _, vt = jnp.linalg.svd(A)
-    Mn = vt[-1].reshape(3, 4)
+    Mn = linalg.null_vector(A).reshape(3, 4)
     # Denormalize: x ~ Mn @ N @ X_h with N = [[I/s, -mean/s], [0, 1]].
     N = jnp.eye(4, dtype=X.dtype) / scale
     N = N.at[3, 3].set(1.0)
@@ -147,6 +148,8 @@ def pnp_ransac(
     iters: int = 256,
     refine_iters: int = 8,
     T_init: jnp.ndarray | None = None,
+    retry_thresh_px: float | jnp.ndarray | None = None,
+    min_inliers: int | jnp.ndarray = 0,
 ) -> PnPResult:
     """RANSAC + GN PnP on (N, 3) world points vs (N, 2) observations.
 
@@ -182,6 +185,20 @@ def pnp_ransac(
     inl = (err < thresh_px) & mask[None, :]
     counts = jnp.sum(inl, axis=1)
     best = jnp.argmax(counts)
+    # Retry ladder on-device for free: if the tight threshold starves, pick
+    # (and gate) by the loose one over the SAME hypothesis set — the
+    # reference re-runs solvePnPRansac at 8 px (rosFuncs.cpp:85-93), which
+    # is statistically the same ladder at twice the cost.
+    use_thresh = thresh_px
+    starved = jnp.zeros((), bool)
+    if retry_thresh_px is not None:
+        inl_r = (err < retry_thresh_px) & mask[None, :]
+        counts_r = jnp.sum(inl_r, axis=1)
+        best_r = jnp.argmax(counts_r)
+        starved = counts[best] < min_inliers
+        best = jnp.where(starved, best_r, best)
+        use_thresh = jnp.where(starved, retry_thresh_px, thresh_px)
+        inl = jnp.where(starved, inl_r, inl)
     T0 = lie.make_se3(Rk[best], tk[best])
 
     # GN polish on the best hypothesis' inliers (masked weights).
@@ -189,14 +206,15 @@ def pnp_ransac(
     T = _gn_refine(cam, T0, pts3d, uv, w, refine_iters)
     # Re-score with the polished pose; expand the inlier set.
     final_err = _reproj_errors(cam, T[:3, :3], T[:3, 3], pts3d, uv)
-    final_inl = (final_err < thresh_px) & mask
+    final_inl = (final_err < use_thresh) & mask
     # One more polish round on the expanded set, then final score.
     T = _gn_refine(cam, T, pts3d, uv, final_inl.astype(pts3d.dtype), refine_iters)
     final_err = _reproj_errors(cam, T[:3, :3], T[:3, 3], pts3d, uv)
-    final_inl = (final_err < thresh_px) & mask
+    final_inl = (final_err < use_thresh) & mask
     return PnPResult(
         T_cw=T,
         inliers=final_inl,
         n_inliers=jnp.sum(final_inl),
         errors=final_err,
+        used_retry=starved,
     )
