@@ -15,6 +15,53 @@ import jax
 import jax.numpy as jnp
 
 
+def cholesky_small(B: jnp.ndarray) -> jnp.ndarray:
+    """Batched Cholesky of (..., n, n) SPD matrices, fully unrolled.
+
+    XLA's ``Cholesky`` custom call is a serial LAPACK-style routine
+    (~0.25-0.6 ms for 256 x 9..12 on v5e); for the tiny static n used
+    here the unrolled update is a few hundred fused elementwise VPU ops.
+    """
+    n = B.shape[-1]
+    col = [[None] * n for _ in range(n)]
+    for j in range(n):
+        d = B[..., j, j] - sum(col[j][k] * col[j][k] for k in range(j))
+        dj = jnp.sqrt(jnp.maximum(d, 1e-30))
+        col[j][j] = dj
+        inv = 1.0 / dj
+        for i in range(j + 1, n):
+            s = B[..., i, j] - sum(col[i][k] * col[j][k] for k in range(j))
+            col[i][j] = s * inv
+    rows = [
+        jnp.stack([col[i][j] if j <= i else jnp.zeros_like(col[i][i])
+                   for j in range(n)], axis=-1)
+        for i in range(n)
+    ]
+    return jnp.stack(rows, axis=-2)
+
+
+def chol_solve_small(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve (L L^T) x = b with unrolled forward/back substitution.
+
+    L: (..., n, n) lower-triangular; b: (..., n).
+    """
+    n = L.shape[-1]
+    y = []
+    for i in range(n):
+        s = b[..., i] - sum(L[..., i, k] * y[k] for k in range(i))
+        y.append(s / L[..., i, i])
+    x = [None] * n
+    for i in range(n - 1, -1, -1):
+        s = y[i] - sum(L[..., k, i] * x[k] for k in range(i + 1, n))
+        x[i] = s / L[..., i, i]
+    return jnp.stack(x, axis=-1)
+
+
+def spd_solve(B: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched SPD solve via the unrolled Cholesky (small static n)."""
+    return chol_solve_small(cholesky_small(B), b)
+
+
 def null_vector(A: jnp.ndarray, iters: int = 4) -> jnp.ndarray:
     """Smallest right singular vector of each (..., m, n) matrix (m >= n-1).
 
@@ -28,12 +75,55 @@ def null_vector(A: jnp.ndarray, iters: int = 4) -> jnp.ndarray:
     n = A.shape[-1]
     tr = jnp.trace(AtA, axis1=-2, axis2=-1)[..., None, None]
     B = AtA + (1e-7 / n) * tr * jnp.eye(n, dtype=A.dtype)
-    L = jnp.linalg.cholesky(B)
-    x = jnp.ones(A.shape[:-2] + (n, 1), A.dtype)
+    L = cholesky_small(B)
+    x = jnp.ones(A.shape[:-2] + (n,), A.dtype)
     for _ in range(iters):
-        y = jax.scipy.linalg.solve_triangular(L, x, lower=True)
-        x = jax.scipy.linalg.solve_triangular(
-            jnp.swapaxes(L, -1, -2), y, lower=False
+        x = chol_solve_small(L, x)
+        x = x / jnp.maximum(
+            jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-30
         )
-        x = x / jnp.maximum(jnp.linalg.norm(x, axis=-2, keepdims=True), 1e-30)
-    return x[..., 0]
+    return x
+
+
+def eigh3x3(S: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Analytic eigendecomposition of batched symmetric (..., 3, 3).
+
+    Returns (eigvals ascending (..., 3), eigvecs (..., 3, 3) with
+    ``eigvecs[..., :, i]`` the i-th eigenvector).  Replaces the serial
+    EighTpu/QDWH custom-call path (trigonometric eigenvalues + the
+    (S - l_j I)(S - l_k I) column-product eigenvectors, Eberly's method)
+    with pure fused elementwise ops.  Inputs here are Gram matrices of
+    noisy RANSAC estimates, so exact degeneracy is measure-zero; the
+    max-norm column pick keeps near-degenerate cases finite.
+    """
+    dt = S.dtype
+    q = jnp.trace(S, axis1=-2, axis2=-1) / 3.0
+    A = S - q[..., None, None] * jnp.eye(3, dtype=dt)
+    p2 = jnp.sum(A * A, axis=(-2, -1)) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 1e-30))
+    # r = det(A/p) / 2 in [-1, 1]
+    detA = jnp.linalg.det(A)
+    r = jnp.clip(detA / (2.0 * p * p * p + 1e-38), -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    l0 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)  # smallest
+    l2 = q + 2.0 * p * jnp.cos(phi)  # largest
+    l1 = 3.0 * q - l0 - l2
+    lam = jnp.stack([l0, l1, l2], axis=-1)  # ascending
+
+    eye = jnp.eye(3, dtype=dt)
+
+    def vec_for(li, lj, lk):
+        # Columns of (S - lj I)(S - lk I) span the li eigenspace.
+        P = (S - lj[..., None, None] * eye) @ (S - lk[..., None, None] * eye)
+        norms = jnp.sum(P * P, axis=-2)
+        best = jnp.argmax(norms, axis=-1)
+        v = jnp.take_along_axis(P, best[..., None, None], axis=-1)[..., 0]
+        return v / jnp.maximum(
+            jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30
+        )
+
+    v0 = vec_for(l0, l1, l2)
+    v2 = vec_for(l2, l0, l1)
+    v1 = jnp.cross(v2, v0)
+    V = jnp.stack([v0, v1, v2], axis=-1)
+    return lam, V

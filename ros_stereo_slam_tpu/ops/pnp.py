@@ -66,11 +66,30 @@ def _p6p_dlt(X: jnp.ndarray, xn: jnp.ndarray) -> jnp.ndarray:
     z = jnp.concatenate([X, ones], axis=1) @ M[2, :]
     M = jnp.where(jnp.sum(z > 0) < 3, -M, M)
     B = M[:, :3]
-    u, s, vt = jnp.linalg.svd(B)
-    detuv = jnp.linalg.det(u @ vt)
+    # Orthogonal Procrustes without the QDWH SVD custom call: eigh of
+    # B^T B gives V and singular values; U columns from B v (the smallest
+    # one re-orthogonalized by cross product for near-degenerate B).
+    lam, V = linalg.eigh3x3(B.T @ B)  # ascending
+    s_desc = jnp.sqrt(jnp.maximum(lam[::-1], 1e-24))  # s0 >= s1 >= s2
+    # Proper (det +1) singular bases: third columns by cross product, so
+    # B = U diag(s0, s1, sign(det B) * s2) Vd^T exactly (Kabsch form).
+    v0 = V[:, 2]
+    v1 = V[:, 1]
+    Vd = jnp.stack([v0, v1, jnp.cross(v0, v1)], axis=1)
+    u0 = B @ v0 / s_desc[0]
+    u0 = u0 / jnp.maximum(jnp.linalg.norm(u0), 1e-12)
+    u1 = B @ v1 / s_desc[1]
+    u1 = u1 - jnp.dot(u1, u0) * u0
+    u1 = u1 / jnp.maximum(jnp.linalg.norm(u1), 1e-12)
+    u2 = jnp.cross(u0, u1)
+    U = jnp.stack([u0, u1, u2], axis=1)
+    detB = jnp.linalg.det(B)
+    detuv = jnp.sign(detB) + (detB == 0.0)
     d = jnp.asarray([1.0, 1.0, 1.0], X.dtype).at[2].set(detuv)
-    R = (u * d[None, :]) @ vt
-    scale = 3.0 / jnp.maximum(s[0] + s[1] + s[2] * detuv, 1e-12)
+    R = (U * d[None, :]) @ Vd.T
+    scale = 3.0 / jnp.maximum(
+        s_desc[0] + s_desc[1] + s_desc[2] * detuv, 1e-12
+    )
     t = M[:, 3] * scale
     return R, t
 
@@ -131,7 +150,9 @@ def _gn_refine(
         Jw = J * wgt[:, None, None]
         H = jnp.einsum("nki,nkj->ij", Jw, J) + damping * jnp.eye(6, dtype=T.dtype)
         b = jnp.einsum("nki,nk->i", Jw, r)
-        dxi = jnp.linalg.solve(H, -b)
+        # H is SPD (damped normal equations): unrolled Cholesky instead of
+        # the serial LuDecompositionBlock custom call.
+        dxi = linalg.spd_solve(H, -b)
         return lie.exp_se3(dxi) @ T
 
     return jax.lax.fori_loop(0, iters, step, T0)
@@ -171,13 +192,14 @@ def pnp_ransac(
     if T_init is not None:
         n_gn = max(iters // 4, 16)
         idx2 = _sample_minimal_sets(k_gn, mask, n_gn, 8)  # (K2, 8)
-        onehot = jnp.zeros((n_gn, pts3d.shape[0]), pts3d.dtype)
-        onehot = jax.vmap(lambda o, i: o.at[i].set(1.0))(onehot, idx2)
 
-        def gn_hyp(w):
-            return _gn_refine(cam, T_init, pts3d, uv, w, 5)
+        def gn_hyp(Xs8, uv8):
+            # GN on just the 8 sampled points (not a one-hot over all N —
+            # that wastes N/8 x the Jacobian work for identical results).
+            return _gn_refine(cam, T_init, Xs8, uv8,
+                              jnp.ones((8,), pts3d.dtype), 5)
 
-        T_gn = jax.vmap(gn_hyp)(onehot)  # (K2, 4, 4)
+        T_gn = jax.vmap(gn_hyp)(pts3d[idx2], uv[idx2])  # (K2, 4, 4)
         Rk = jnp.concatenate([Rk, T_gn[:, :3, :3]], axis=0)
         tk = jnp.concatenate([tk, T_gn[:, :3, 3]], axis=0)
 

@@ -72,9 +72,12 @@ def _epipolar_design(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
 
 
 def _rank2(F: jnp.ndarray) -> jnp.ndarray:
-    u, s, vt = jnp.linalg.svd(F)
-    s = s.at[2].set(0.0)
-    return (u * s[None, :]) @ vt
+    """Nearest rank-2 matrix: F (I - v3 v3^T) with v3 the smallest right
+    singular vector (from the analytic 3x3 eigh of F^T F) — identical to
+    zeroing sigma_3 in the SVD, without the serial QDWH/EighTpu path."""
+    _, V = linalg.eigh3x3(jnp.swapaxes(F, -1, -2) @ F)
+    v3 = V[..., :, 0]
+    return F - (F @ v3[..., :, None]) * v3[..., None, :]
 
 
 def _eight_point(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
