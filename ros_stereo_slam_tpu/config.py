@@ -36,7 +36,11 @@ class FrontendConfig:
     """Dense sampling + LK tracking + gating (reference C2/C4/C5)."""
 
     grid_step: int = 30  # px; reference src/tracking.cpp:4-12 (stepSize=30)
-    max_points: int = 1536  # static capacity for tracked points (mult of 128)
+    # Static capacity for tracked points (multiple of 128).  Sized to the
+    # actual grid population: step 30 on a 1241x376 KITTI frame yields 440
+    # points; every padded slot costs full LK/RANSAC/PnP work, so keep the
+    # capacity snug (raise together with a denser grid_step).
+    max_points: int = 512
     sampler: str = "grid"  # "grid" (reference C2) or "anms" (FAST + C3)
     # Pyramidal LK (reference uses OpenCV defaults: win 21, 3 levels + base,
     # 30 iters; Python proto src/ROSslam.py:145 same).
