@@ -104,6 +104,13 @@ class LoopClosureConfig:
     min_separation: int = 100  # accept iff query - match > 100 (driver rule,
     cooldown: int = 100  # reference src/optimizationStuff.cpp:59-63)
     db_capacity: int = 4096  # reference allocates 4000 (visualSLAM.h:137)
+    # Loop-edge measurement: "pnp" stereo-triangulates the query's ORB
+    # features and solves the metric relative pose to the matched frame
+    # (the reference's planned-but-unbuilt getLCMeasurement,
+    # dump.cpp:331-348); "identity" reproduces the reference's shipped
+    # absolute-closure semantics (poseGraph.h:118, README.md:39).  PnP
+    # falls back to identity when it finds < geom_min_points inliers.
+    edge_measurement: str = "pnp"
 
 
 @dataclass(frozen=True)

@@ -232,12 +232,21 @@ def small_world(
     )
 
 
-def loop_trajectory(n_frames: int, radius: float = 2.5, overlap: int = 6) -> np.ndarray:
+def loop_trajectory(
+    n_frames: int,
+    radius: float = 2.5,
+    overlap: int = 6,
+    revisit_offset: float = 0.0,
+) -> np.ndarray:
     """A closed circular path inside the corridor (for loop-closure tests).
 
     The camera flies tangentially around a circle of `radius`, completing a
     full revolution in n_frames - overlap steps, then re-traversing the
-    first `overlap` poses exactly — a true revisit.
+    first `overlap` poses — exactly when ``revisit_offset`` is 0 (a true
+    revisit, where the reference's identity loop closure is correct), or
+    laterally displaced by that many meters (same view, different pose —
+    the case a measured PnP loop edge handles and an identity edge gets
+    wrong).
     """
     steps = n_frames - overlap
     poses = np.zeros((n_frames, 4, 4))
@@ -251,4 +260,6 @@ def loop_trajectory(n_frames: int, radius: float = 2.5, overlap: int = 6) -> np.
         poses[i] = np.eye(4)
         poses[i, :3, :3] = R
         poses[i, :3, 3] = t
+        if i >= steps:
+            poses[i, :3, 3] += R @ np.array([revisit_offset, 0.0, 0.0])
     return poses

@@ -46,6 +46,10 @@ class LoopCandidate:
     score: float
     n_inliers: int
     consistent: int  # temporal-consistency count at acceptance
+    # Geometric-check correspondences (query feature -> match feature),
+    # for the optional PnP-measured loop edge.
+    match_idx: np.ndarray | None = None  # (N,) int
+    match_inliers: np.ndarray | None = None  # (N,) bool
 
 
 @partial(jax.jit, static_argnames=("top_k",))
@@ -71,7 +75,12 @@ def _geom_match(
     sign_m: jnp.ndarray, pts_m: jnp.ndarray, valid_m: jnp.ndarray,
     key: jax.Array, thresh_px: jnp.ndarray, ratio: jnp.ndarray,
 ):
-    """Brute-force descriptor matching + ratio test + F-RANSAC."""
+    """Brute-force descriptor matching + ratio test + F-RANSAC.
+
+    Returns (n_inliers, best_match_idx (N,), inlier_mask (N,)) — the
+    correspondences feed the optional PnP loop-edge measurement (the
+    reference's future-work ``getLCMeasurement``, ``dump.cpp:331-348``).
+    """
     ham = orb_mod.hamming_mxu(sign_q, sign_m)  # (N, M)
     ham = jnp.where(valid_m[None, :], ham, 1e9)
     # two smallest distances per query row
@@ -84,7 +93,7 @@ def _geom_match(
     res = ransac.fmat_ransac(
         key, pts_q, m_pts, good, thresh_px=thresh_px, iters=256
     )
-    return res.n_inliers
+    return res.n_inliers, best, good & res.inliers
 
 
 @dataclass
@@ -201,20 +210,21 @@ class LoopDetector:
                     if consistent >= cfg.k_consistency:
                         slot = best_id % cfg.db_capacity
                         self._key, k = jax.random.split(self._key)
-                        n_inl = int(
-                            _geom_match(
-                                feats.desc_sign, feats.pts, feats.valid,
-                                self.db_sign[slot], self.db_pts[slot],
-                                self.db_pt_valid[slot],
-                                k, jnp.float32(cfg.geom_thresh_px),
-                                jnp.float32(cfg.neigh_ratio),
-                            )
+                        n_inl_d, best_d, inl_d = _geom_match(
+                            feats.desc_sign, feats.pts, feats.valid,
+                            self.db_sign[slot], self.db_pts[slot],
+                            self.db_pt_valid[slot],
+                            k, jnp.float32(cfg.geom_thresh_px),
+                            jnp.float32(cfg.neigh_ratio),
                         )
+                        n_inl = int(n_inl_d)
                         if n_inl >= cfg.geom_min_points:
                             result = LoopCandidate(
                                 query=frame_id, match=int(best_id),
                                 score=float(best_score), n_inliers=n_inl,
                                 consistent=consistent,
+                                match_idx=np.asarray(best_d),
+                                match_inliers=np.asarray(inl_d),
                             )
                 else:
                     self._window.append((frame_id, -10, -10))

@@ -73,6 +73,7 @@ class StereoSLAM:
         if self.detector is None:
             return None
         feats = orb.detect_and_compute(left_dev, self.config.loop.orb_features)
+        self._last_feats = feats  # kept for the PnP loop-edge measurement
         cand = self.detector.detect(self.frame_count, feats)
         if self.cooldown > 0:
             self.cooldown -= 1
@@ -83,6 +84,59 @@ class StereoSLAM:
             return None
         self.cooldown = self.config.loop.cooldown
         return cand
+
+    def _measure_loop_edge(
+        self, cand: loop_closure.LoopCandidate, right_dev: jnp.ndarray
+    ) -> jnp.ndarray | None:
+        """Metric SE(3) loop-edge measurement Z = T_q^-1 T_{match-1}.
+
+        The reference planned this upgrade but never wired it
+        (``getLCMeasurement``, ``dump.cpp:331-348``); it shipped identity
+        closures instead (``poseGraph.h:118``).  Here: the query's ORB
+        features are stereo-triangulated (3D in the query camera frame),
+        the geometric check's descriptor correspondences give their 2D
+        observations in the matched frame, and PnP solves the match
+        camera's pose in that local frame.  Returns None (-> identity
+        fallback) if PnP starves.
+        """
+        from ros_stereo_slam_tpu.models import frontend
+        from ros_stereo_slam_tpu.ops import lk, pnp, triangulate
+
+        cfg = self.config
+        feats = self._last_feats
+        cam = step_mod._cam_of(cfg)
+        left_pyr = self._carry.ref_pyr  # pyramid of the current left image
+        import ros_stereo_slam_tpu.ops.pyramid as pyr_mod
+
+        right_pyr = tuple(
+            pyr_mod.build_pyramid(right_dev, cfg.frontend.lk_levels)
+        )
+        st = lk.track(
+            left_pyr, right_pyr, feats.pts, None,
+            frontend._lk_params(cfg.frontend),
+        )
+        tri = triangulate.triangulate_rectified(
+            cam, jnp.float32(cfg.camera.baseline), feats.pts, st.points,
+            feats.valid & st.valid, max_depth=cfg.keyframes.max_depth,
+        )
+        slot = cand.match % cfg.loop.db_capacity
+        uv_m = self.detector.db_pts[slot][jnp.asarray(cand.match_idx)]
+        mask = jnp.asarray(cand.match_inliers) & tri.valid
+        key = jax.random.fold_in(self._carry.key, 4321)
+        res = pnp.pnp_ransac(
+            key, cam, tri.points, uv_m, mask,
+            thresh_px=cfg.loop.geom_thresh_px, iters=128,
+            refine_iters=cfg.pnp.refine_iters,
+            T_init=jnp.eye(4, dtype=jnp.float32),
+        )
+        if int(res.n_inliers) < cfg.loop.geom_min_points:
+            return None
+        Z_q_match = lie.inv_se3(res.T_cw)  # match cam in query frame
+        if cand.match == 0:
+            return Z_q_match
+        # Compose to vertex match-1 through the stored odometry edge
+        # Z_odo = T_{m-1}^-1 T_m:  T_q^-1 T_{m-1} = (T_q^-1 T_m) Z_odo^-1.
+        return Z_q_match @ lie.inv_se3(self.graph.odo_Z[cand.match])
 
     # -- public API --------------------------------------------------------
 
@@ -130,10 +184,14 @@ class StereoSLAM:
         cand = self._detect_loop(left_dev)
         loop_closed = False
         if cand is not None:
-            # 3) loop edge to match-1 (LCidx), identity measurement; then
-            # global optimization + trajectory/map rewrite.
+            # 3) loop edge to match-1 (LCidx): PnP-measured relative pose
+            # when configured (identity fallback — the reference's shipped
+            # semantics); then global optimization + trajectory/map rewrite.
             lc_idx = max(cand.match - 1, 0)
-            self.graph.add_loop(cand.query, lc_idx)
+            Z_loop = None
+            if cfg.loop.edge_measurement == "pnp":
+                Z_loop = self._measure_loop_edge(cand, right_dev)
+            self.graph.add_loop(cand.query, lc_idx, Z_loop)
             old_poses = self.trajectory_dev
             new_poses = self.graph.optimize(old_poses)
             # keyframe clouds + poses follow the corrected trajectory

@@ -34,6 +34,16 @@ class LKParams(NamedTuple):
     window: int = 21
     levels: int = 4
     iters: int = 10
+    # Full-resampling GN iterations per level; any remaining iters - walk
+    # "polish" iterations sample from a FROZEN (window+3)^2 tile anchored
+    # after the walk phase (sampling clamped to a ~±1 px cell around the
+    # anchor).  The per-level correction left after `walk` full iterations
+    # is subpixel, so polish is near-lossless.  Measured on v5e: the
+    # polish path's select/mix chain is NOT faster than the walk path's
+    # aligned-superblock + one-hot-matmul sampling (the extra per-point
+    # live tile spills), so the default runs all iterations as walk;
+    # polish stays available for larger windows/iteration counts.
+    walk_iters: int = 10
     eps: float = 0.01
     # "auto": Pallas kernel on TPU, jnp reference elsewhere.
     backend: str = "auto"
@@ -80,8 +90,7 @@ def _track_level(
         ok = min_eig > params.min_eig
         inv_det = jnp.where(det > 1e-12, 1.0 / jnp.maximum(det, 1e-12), 0.0)
 
-        def body(_, g):
-            cur = interp.extract_patch(cur_img, g, w)
+        def gn_update(cur, g):
             it = cur - tmpl
             bx = jnp.sum(gx * it)
             by = jnp.sum(gy * it)
@@ -92,8 +101,36 @@ def _track_level(
             step = jnp.where(jnp.linalg.norm(delta) < params.eps, 0.0, 1.0)
             return g - step * delta
 
-        g = jax.lax.fori_loop(0, params.iters, body, guess)
-        cur = interp.extract_patch(cur_img, g, w)
+        def body(_, g):
+            return gn_update(interp.extract_patch(cur_img, g, w), g)
+
+        walk = min(params.iters, params.walk_iters)
+        polish = params.iters - walk
+        g = jax.lax.fori_loop(0, walk, body, guess)
+        if polish > 0:
+            # Freeze-polish: all further samples come from the ~±1 px cell
+            # around the post-walk anchor (identical clamp formula to the
+            # Pallas kernel's frozen-tile phase).
+            h_i, w_i = cur_img.shape
+            half = (w - 1) * 0.5
+            lo = jnp.zeros((2,), g.dtype)
+            hi = jnp.asarray([w_i - w - 3.0, h_i - w - 3.0], g.dtype)
+            base = jnp.clip(jnp.floor(g - half) - 1.0, lo, hi)
+
+            def clamp_pos(gp):
+                o = jnp.clip(gp - half - base, 0.0, 2.0 - 1e-4)
+                return base + o + half
+
+            def pbody(_, gp):
+                return gn_update(
+                    interp.extract_patch(cur_img, clamp_pos(gp), w), gp
+                )
+
+            g = jax.lax.fori_loop(0, polish, pbody, g)
+            g_res = clamp_pos(g)
+        else:
+            g_res = g
+        cur = interp.extract_patch(cur_img, g_res, w)
         contrast = jnp.std(tmpl) + 1e-3
         resid = jnp.mean(jnp.abs(cur - tmpl)) / contrast
         return g, ok, resid

@@ -87,7 +87,8 @@ def _select_tile(img_ref, yf, xf, n: int, H: int, W: int):
 def _lk_level_kernel(
     px_ref, py_ref, gx0_ref, gy0_ref, tmpl_ref, cur_ref,
     out_pts_ref, out_meta_ref,
-    *, S: int, iters: int, eps: float, n_pts: int, H: int, W: int,
+    *, S: int, iters: int, walk_iters: int, eps: float, n_pts: int,
+    H: int, W: int,
 ):
     """Single-program kernel looping all points; meta = (min_eig, resid).
 
@@ -157,12 +158,69 @@ def _lk_level_kernel(
         for u in range(_UNROLL):
             p = pb * _UNROLL + u
             g0.extend([gx0_ref[p], gy0_ref[p]])
-        g_fin = jax.lax.fori_loop(0, iters, iter_body, tuple(g0))
+        walk = min(iters, walk_iters)
+        polish = iters - walk
+        g_fin = jax.lax.fori_loop(0, walk, iter_body, tuple(g0))
+
+        if polish > 0:
+            # Freeze-polish: one (S+3, S+3) tile per point at its
+            # post-walk anchor; remaining iterations are register-level
+            # selects + bilinear mixes, sampling clamped to the ~±1 px
+            # cell (same formula as the jnp oracle's polish phase).  One
+            # SHARED loop across the unroll — per-point loops pay a
+            # scalar-core loop overhead that dwarfs the saved math.
+            anchors, ptiles = [], []
+            for u in range(_UNROLL):
+                gx_fin, gy_fin = g_fin[2 * u], g_fin[2 * u + 1]
+                tby = jnp.clip(
+                    jnp.floor(gy_fin - half) - 1.0, 0.0, H - S - 3.0
+                )
+                tbx = jnp.clip(
+                    jnp.floor(gx_fin - half) - 1.0, 0.0, W - S - 3.0
+                )
+                Pt, _, _ = _select_tile(cur_ref, tby, tbx, S + 2, H, W)
+                anchors.append((tbx, tby))
+                ptiles.append(Pt)
+
+            def psample(u, gx_p, gy_p):
+                tbx, tby = anchors[u]
+                Pt = ptiles[u]
+                oy = jnp.clip(gy_p - half - tby, 0.0, 2.0 - 1e-4)
+                ox = jnp.clip(gx_p - half - tbx, 0.0, 2.0 - 1e-4)
+                iy1 = oy >= 1.0
+                ix1 = ox >= 1.0
+                fy = oy - iy1.astype(jnp.float32)
+                fx = ox - ix1.astype(jnp.float32)
+                Rt = jnp.where(iy1, Pt[1: S + 2, :], Pt[0: S + 1, :])
+                Ct = jnp.where(ix1, Rt[:, 1: S + 2], Rt[:, 0: S + 1])
+                return _mix(Ct, fx, fy)
+
+            def pbody(_, g):
+                out = []
+                for u in range(_UNROLL):
+                    gx_p, gy_p = g[2 * u], g[2 * u + 1]
+                    a, b, c, inv_det, _me = coef[u]
+                    cur = psample(u, gx_p, gy_p)
+                    it = cur - tm[u]
+                    bxs = jnp.sum(gx_l[u] * it)
+                    bys = jnp.sum(gy_l[u] * it)
+                    ddx = (c * bxs - b * bys) * inv_det
+                    ddy = (a * bys - b * bxs) * inv_det
+                    stp = jnp.where(
+                        ddx * ddx + ddy * ddy < eps * eps, 0.0, 1.0
+                    )
+                    out.extend([gx_p - stp * ddx, gy_p - stp * ddy])
+                return tuple(out)
+
+            g_fin = jax.lax.fori_loop(0, polish, pbody, g_fin)
 
         for u in range(_UNROLL):
             p = pb * _UNROLL + u
             gx_fin, gy_fin = g_fin[2 * u], g_fin[2 * u + 1]
-            cur = sample_cur(gx_fin, gy_fin)
+            if polish > 0:
+                cur = psample(u, gx_fin, gy_fin)
+            else:
+                cur = sample_cur(gx_fin, gy_fin)
             tmpl = tm[u]
             mean_t = jnp.sum(tmpl) * inv_n
             var_t = jnp.sum(tmpl * tmpl) * inv_n - mean_t * mean_t
@@ -212,7 +270,8 @@ def track_level(
     out_pts, out_meta = pl.pallas_call(
         partial(
             _lk_level_kernel,
-            S=params.window, iters=params.iters, eps=params.eps,
+            S=params.window, iters=params.iters,
+            walk_iters=params.walk_iters, eps=params.eps,
             n_pts=n, H=H, W=W,
         ),
         out_shape=(

@@ -155,7 +155,12 @@ def _gn_refine(
         dxi = linalg.spd_solve(H, -b)
         return lie.exp_se3(dxi) @ T
 
-    return jax.lax.fori_loop(0, iters, step, T0)
+    # Unrolled: at <=8 fixed iterations the TPU while-loop's per-trip
+    # overhead (~40 us) costs more than the loop body.
+    T = T0
+    for i in range(iters):
+        T = step(i, T)
+    return T
 
 
 @partial(jax.jit, static_argnames=("iters", "refine_iters"))
