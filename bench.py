@@ -29,7 +29,7 @@ REFERENCE_CPU_FPS = 10.0
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=32, help="timed frames")
+    ap.add_argument("--frames", type=int, default=64, help="timed frames")
     ap.add_argument("--platform", type=str, default=None)
     ap.add_argument("--mode", choices=["scan", "stream"], default="scan")
     args = ap.parse_args()
@@ -48,7 +48,10 @@ def main() -> None:
 
     n_total = args.frames + 1
     cam = CameraConfig()  # full KITTI geometry: 1241x376
-    world = SyntheticWorld(camera=cam, n_frames=n_total, seed=11)
+    # Wider corridor (half_w): the trajectory's accumulated yaw (~26 deg by
+    # frame 96) otherwise walks the camera into the +/-7 m side wall, which
+    # collapses scene depth and degrades tracking late in the sequence.
+    world = SyntheticWorld(camera=cam, n_frames=n_total, seed=11, half_w=18.0)
     print(f"[bench] rendering {n_total} synthetic frames at "
           f"{cam.width}x{cam.height}...", file=sys.stderr)
     lefts, rights = [], []
