@@ -152,10 +152,16 @@ def ba_solve(
 
         S_flat = S.transpose(0, 2, 1, 3).reshape(6 * W, 6 * W)
         dp = jnp.linalg.solve(S_flat, rhs.reshape(-1)).reshape(W, 6)
+        # A singular reduced system (degenerate window) yields inf/nan from
+        # the solve; a nan pose would then mask out EVERY observation and
+        # make the final rms-guard see a spurious "0" rms. Zero the update
+        # instead so the iteration is a no-op.
+        dp = jnp.where(jnp.all(jnp.isfinite(dp)), dp, 0.0)
         dp = dp * free[:, None]
 
         # Back-substitute landmarks: dx = V^-1 (-bl - W^T dp).
         dx = jnp.einsum("nab,nb->na", V_inv, -bl - jnp.einsum("wnab,wa->nb", Wc, dp))
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
         dx = dx * lm_valid[:, None]
 
         T_new = jnp.einsum(
@@ -167,7 +173,11 @@ def ba_solve(
     rms1 = rms(T_fin, X_fin)
     # Safety: if the refinement diverged (rare, ill-conditioned windows),
     # keep the input state.
-    better = rms1 <= rms0
+    better = (
+        (rms1 <= rms0)
+        & jnp.all(jnp.isfinite(T_fin))
+        & jnp.all(jnp.isfinite(X_fin))
+    )
     T_out = jnp.where(better, T_fin, T_cw)
     X_out = jnp.where(better, X_fin, landmarks)
     return BAResult(T_cw=T_out, landmarks=X_out, rms_before=rms0, rms_after=jnp.minimum(rms1, rms0))
