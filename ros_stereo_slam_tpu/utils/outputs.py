@@ -86,6 +86,15 @@ class RunOutputs:
             )
         if hasattr(slam, "save_graph"):
             slam.save_graph(os.path.join(self.out_dir, "poseGraph.g2o"))
+        if hasattr(slam, "map_points"):
+            from ros_stereo_slam_tpu.viz import web
+
+            pts, cols = slam.map_points()
+            web.export_html(
+                os.path.join(self.out_dir, "map.html"),
+                est, pts, cols,
+                keyframe_idx=getattr(slam, "keyframe_frames", None),
+            )
         if gt_poses is not None:
             summary["ate_rmse"] = metrics_mod.ate_rmse(est, gt_poses)
             rpe_t, rpe_r = metrics_mod.rpe(est, gt_poses)
