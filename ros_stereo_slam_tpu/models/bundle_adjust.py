@@ -29,6 +29,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ros_stereo_slam_tpu.ops import linalg
 from ros_stereo_slam_tpu.utils import lie
 from ros_stereo_slam_tpu.utils.camera import Pinhole
 
@@ -72,7 +73,7 @@ def _residual_jacobians(cam: Pinhole, T_cw, X, uv):
     return r, Jp, Jl, pos
 
 
-@partial(jax.jit, static_argnames=("iters", "axis_name"))
+@partial(jax.jit, static_argnames=("iters", "cg_iters", "axis_name"))
 def ba_solve(
     cam: Pinhole,
     T_cw: jnp.ndarray,  # (W, 4, 4) — replicated across shards
@@ -84,6 +85,7 @@ def ba_solve(
     damping: float | jnp.ndarray = 1e-4,
     huber_px: float | jnp.ndarray = 2.0,
     axis_name: str | None = None,
+    cg_iters: int = 48,
 ) -> BAResult:
     """Single-chip and multi-chip BA share this body.
 
@@ -127,11 +129,16 @@ def ba_solve(
         bp = allsum(jnp.einsum("wnka,wnk->wa", Jp_w, r))  # (W, 6)
         bl = jnp.einsum("wnka,wnk->na", Jl_w, r)  # (N, 3) local
 
+        # Marquardt (diag-relative) damping: keeps the equilibrated reduced
+        # system's condition number <= ~1/damping, which f32 CG needs; the
+        # absolute epsilon keeps zero-observation blocks invertible.
         I6 = jnp.eye(6, dtype=T.dtype)
         I3 = jnp.eye(3, dtype=T.dtype)
-        U = U + damping * I6[None]
-        V = V + damping * I3[None]
-        V_inv = jnp.linalg.inv(V)  # batched 3x3 — the local elimination
+        dU = jnp.diagonal(U, axis1=-2, axis2=-1)
+        dV = jnp.diagonal(V, axis1=-2, axis2=-1)
+        U = U + (damping * dU + 1e-6)[..., None] * I6[None]
+        V = V + (damping * dV + 1e-6)[..., None] * I3[None]
+        V_inv = linalg.inv3x3(V)  # batched 3x3 — the local elimination
         V_inv = jnp.where(lm_valid[:, None, None], V_inv, 0.0)
 
         # Reduced camera system: S = U - W V^-1 W^T (cross-pose coupling);
@@ -150,12 +157,57 @@ def ba_solve(
         )
         rhs = rhs * free[:, None]
 
-        S_flat = S.transpose(0, 2, 1, 3).reshape(6 * W, 6 * W)
-        dp = jnp.linalg.solve(S_flat, rhs.reshape(-1)).reshape(W, 6)
-        # A singular reduced system (degenerate window) yields inf/nan from
-        # the solve; a nan pose would then mask out EVERY observation and
-        # make the final rms-guard see a spurious "0" rms. Zero the update
-        # instead so the iteration is a no-op.
+        # Solve the (symmetric PD after damping + gauge) reduced system with
+        # block-Jacobi-preconditioned CG: matvecs are (W, W, 6, 6) x (W, 6)
+        # einsums and the 6x6 diagonal-block inverses use the unrolled
+        # Cholesky — no serial LAPACK-style custom calls (jnp.linalg.solve
+        # costs milliseconds per call on TPU; this is microseconds).
+        #
+        # f32 note: raw reduced systems reach cond ~1e7 (fx^2-scaled
+        # rotation entries vs unit gauge rows), beyond f32 CG.  Symmetric
+        # diagonal equilibration  S~ = E S E, E = diag(S)^-1/2  collapses
+        # the scale disparity first; CG then runs on S~ and the update is
+        # mapped back through E.
+        diag = jnp.diagonal(
+            S[jnp.arange(W), jnp.arange(W)], axis1=-2, axis2=-1
+        )  # (W, 6)
+        e = 1.0 / jnp.sqrt(jnp.maximum(diag, 1e-12))
+        S_sc = S * (e[:, None, :, None] * e[None, :, None, :])
+        rhs_sc = rhs * e
+        D_inv = linalg.spd_inverse_small(S_sc[jnp.arange(W), jnp.arange(W)])
+
+        def hx(x):
+            return jnp.einsum("wvab,vb->wa", S_sc, x)
+
+        def pc(v):
+            return jnp.einsum("wab,wb->wa", D_inv, v)
+
+        def cg_body(_, st):
+            x, rr, z, pdir, rz = st
+            Ap = hx(pdir)
+            alpha = rz / jnp.maximum(jnp.sum(pdir * Ap), 1e-30)
+            x = x + alpha * pdir
+            rr = rr - alpha * Ap
+            z = pc(rr)
+            rz_new = jnp.sum(rr * z)
+            beta = rz_new / jnp.maximum(rz, 1e-30)
+            return (x, rr, z, z + beta * pdir, rz_new)
+
+        def cg(b):
+            z0 = pc(b)
+            x, *_ = jax.lax.fori_loop(
+                0, cg_iters, cg_body, (jnp.zeros_like(b), b, z0, z0,
+                                       jnp.sum(b * z0))
+            )
+            return x
+
+        # One round of iterative refinement recovers the last f32 digits.
+        y = cg(rhs_sc)
+        y = y + cg(rhs_sc - hx(y))
+        dp = y * e
+        # A degenerate window can still produce non-finite directions; a
+        # nan pose would mask out EVERY observation and make the final
+        # rms-guard see a spurious "0" rms.  Zero the update instead.
         dp = jnp.where(jnp.all(jnp.isfinite(dp)), dp, 0.0)
         dp = dp * free[:, None]
 
@@ -209,7 +261,9 @@ def dense_solve_reference(
     Jf = (J_full * wgt[..., None, None]).reshape(-1, n_vars)
     J_unw = J_full.reshape(-1, n_vars)
     rf = r.reshape(-1)
-    H = Jf.T @ J_unw + damping * jnp.eye(n_vars)
+    H = Jf.T @ J_unw
+    # Same Marquardt damping semantics as ba_solve.
+    H = H + jnp.diag(damping * jnp.diagonal(H) + 1e-6)
     b = Jf.T @ rf
     # gauge + invalid landmarks: identity rows
     fix_idx = []

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ros_stereo_slam_tpu.config import PGOConfig
+from ros_stereo_slam_tpu.ops import linalg
 from ros_stereo_slam_tpu.utils import lie
 
 
@@ -138,7 +139,9 @@ def optimize(
         D = D.at[loop_i].add(jnp.einsum("eab,eac->ebc", Ji_l, Ji_l))
         D = D.at[loop_j].add(jnp.einsum("eab,eac->ebc", Jj_l, Jj_l))
         D = allsum(D) + (damping + 1e-8) * jnp.eye(6, dtype=poses.dtype)[None]
-        D_inv = jnp.linalg.inv(D)
+        # (F, 6, 6) SPD blocks: unrolled Cholesky inverse instead of the
+        # serial batched-LU custom call (block-Jacobi preconditioner).
+        D_inv = linalg.spd_inverse_small(D)
 
         def hx(x):
             """H @ x via edge-wise gather/scatter (x: (F, 6))."""

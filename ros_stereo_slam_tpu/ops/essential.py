@@ -82,6 +82,48 @@ def _ortho3(M: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return U, V
 
 
+def _essential_factors(E: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(U, V) SVD factors of an (already manifold-projected) essential E.
+
+    A true essential matrix has singular values (s, s, 0): the repeated
+    pair makes Eberly-style eigenvector extraction (``linalg.eigh3x3``)
+    ill-defined there, but the E -> (R, t) decomposition is invariant to
+    the in-plane rotation freedom, so ANY right-handed orthonormal
+    completion of the (isolated) null directions is valid:
+
+    - v3 = unit null vector of E (isolated eigenvalue 0 of E^T E);
+    - v1 = deterministic completion orthogonal to v3, v2 = v3 x v1;
+    - u_i = E v_i / |E v_i| (i = 1, 2), u3 = u1 x u2.
+    """
+    EtE = jnp.swapaxes(E, -1, -2) @ E
+    # Null direction: columns of (EtE - s I)^2 with s the repeated value
+    # span v3; s = trace/2 for sigma = (s, s, 0).
+    s = 0.5 * jnp.trace(EtE, axis1=-2, axis2=-1)[..., None, None]
+    P = (EtE - s * jnp.eye(3, dtype=E.dtype))
+    P = P @ P
+    norms = jnp.sum(P * P, axis=-2)
+    bestc = jnp.argmax(norms, axis=-1)
+    v3 = jnp.take_along_axis(P, bestc[..., None, None], axis=-1)[..., 0]
+    v3 = v3 / jnp.maximum(jnp.linalg.norm(v3, axis=-1, keepdims=True), 1e-12)
+    # Deterministic completion: cross with the world axis least aligned
+    # with v3 (selected smoothly via the smallest |component|).
+    eye = jnp.eye(3, dtype=E.dtype)
+    axis_idx = jnp.argmin(jnp.abs(v3), axis=-1)
+    a = eye[axis_idx]
+    v1 = jnp.cross(v3, a)
+    v1 = v1 / jnp.maximum(jnp.linalg.norm(v1, axis=-1, keepdims=True), 1e-12)
+    v2 = jnp.cross(v3, v1)
+    V = jnp.stack([v1, v2, v3], axis=-1)
+    u1 = jnp.einsum("...ij,...j->...i", E, v1)
+    u1 = u1 / jnp.maximum(jnp.linalg.norm(u1, axis=-1, keepdims=True), 1e-12)
+    u2 = jnp.einsum("...ij,...j->...i", E, v2)
+    u2 = u2 - jnp.sum(u1 * u2, axis=-1, keepdims=True) * u1
+    u2 = u2 / jnp.maximum(jnp.linalg.norm(u2, axis=-1, keepdims=True), 1e-12)
+    u3 = jnp.cross(u1, u2)
+    U = jnp.stack([u1, u2, u3], axis=-1)
+    return U, V
+
+
 def project_essential(M: jnp.ndarray) -> jnp.ndarray:
     """Nearest essential matrix: U diag(1, 1, 0) V^T (scale-free)."""
     U, V = _ortho3(M)
@@ -120,31 +162,41 @@ def essential_ransac(
     err = sampson_distance(E, x1h, x2h)  # (K, N)
     inl = (err < thr) & mask[None, :]
     counts = jnp.sum(inl, axis=1)
-    best = jnp.argmax(counts)
+    # MSAC model selection: sum of truncated errors (lower = better) is
+    # far more discriminative than inlier counting when many hypotheses
+    # saturate the count (near-forward motion).
+    msac = jnp.sum(
+        jnp.where(mask[None, :], jnp.minimum(err, thr), 0.0), axis=1
+    )
+    best = jnp.argmin(jnp.where(jnp.isfinite(msac), msac, jnp.inf))
 
     # IRLS polish: three rounds of Sampson-weighted refit over the current
     # inlier set (deterministic, fixed trip count — jit-friendly).  Keeps
     # the best-of (hypothesis, refit) by inlier count.
     A_full = _epipolar_design(x1, x2)
 
+    def msac_of(E_cur):
+        e = sampson_distance(E_cur, x1h, x2h)
+        return e, jnp.sum(jnp.where(mask, jnp.minimum(e, thr), 0.0))
+
     def refit(carry, _):
-        E_cur, inl_cur, cnt_cur = carry
+        E_cur, inl_cur, sc_cur = carry
         e = sampson_distance(E_cur, x1h, x2h)
         w = inl_cur.astype(x1.dtype) / (1.0 + e / jnp.maximum(thr, 1e-12))
         E_new = project_essential(linalg.null_vector(A_full * w[:, None]).reshape(3, 3))
-        err_n = sampson_distance(E_new, x1h, x2h)
+        err_n, sc_n = msac_of(E_new)
         inl_n = (err_n < thr) & mask
-        cnt_n = jnp.sum(inl_n)
-        ok = jnp.all(jnp.isfinite(E_new)) & (cnt_n >= cnt_cur)
+        ok = jnp.all(jnp.isfinite(E_new)) & (sc_n <= sc_cur)
         return (
             jnp.where(ok, E_new, E_cur),
             jnp.where(ok, inl_n, inl_cur),
-            jnp.where(ok, cnt_n, cnt_cur),
+            jnp.where(ok, sc_n, sc_cur),
         ), None
 
-    (E_out, inl_out, cnt_out), _ = jax.lax.scan(
-        refit, (E[best], inl[best], counts[best]), None, length=3
+    (E_out, inl_out, _), _ = jax.lax.scan(
+        refit, (E[best], inl[best], msac[best]), None, length=3
     )
+    cnt_out = jnp.sum(inl_out)
     # Degenerate inputs (e.g. empty mask) can leave a non-finite E; return
     # a canonical valid essential matrix with zero inliers instead.
     finite = jnp.all(jnp.isfinite(E_out))
@@ -202,7 +254,7 @@ def recover_pose(
     """
     E_canon = jnp.diag(jnp.asarray([1.0, 1.0, 0.0], E.dtype))
     E = jnp.where(jnp.all(jnp.isfinite(E)), E, E_canon)
-    U, V = _ortho3(E)
+    U, V = _essential_factors(E)
     Wm = jnp.asarray([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)
     Ra = U @ Wm @ V.swapaxes(-1, -2)
     Rb = U @ Wm.T @ V.swapaxes(-1, -2)

@@ -85,6 +85,65 @@ def null_vector(A: jnp.ndarray, iters: int = 4) -> jnp.ndarray:
     return x
 
 
+def det3x3(M: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form determinant of (..., 3, 3) — no LU custom call."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+
+
+def inv3x3(M: jnp.ndarray, eps: float = 1e-30) -> jnp.ndarray:
+    """Adjugate inverse of (..., 3, 3): fused elementwise ops only.
+
+    Replaces the batched-LU ``jnp.linalg.inv`` path (a serial LAPACK-style
+    custom call on TPU) for the per-landmark Schur blocks.
+    """
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > eps, det, eps)
+    adj = jnp.stack(
+        [
+            jnp.stack([A, -(b * i - c * h), b * f - c * e], -1),
+            jnp.stack([B, a * i - c * g, -(a * f - c * d)], -1),
+            jnp.stack([C, -(a * h - b * g), a * e - b * d], -1),
+        ],
+        axis=-2,
+    )
+    return adj * inv_det[..., None, None]
+
+
+def spd_inverse_small(B: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of (..., n, n) SPD matrices via the unrolled Cholesky.
+
+    inv(B) = L^-T L^-1 with L^-1 from unrolled forward substitution
+    against the identity.  For the tiny static n used here (6 for pose
+    blocks) this is a few hundred fused VPU ops per matrix — no LAPACK
+    custom call.
+    """
+    L = cholesky_small(B)
+    n = B.shape[-1]
+    # columns j of L^-1: solve L x = e_j (x[i] = 0 for i < j)
+    zero = jnp.zeros_like(L[..., 0, 0])
+    one = jnp.ones_like(zero)
+    cols = []
+    for j in range(n):
+        x = [zero] * n
+        for i in range(j, n):
+            s = (one if i == j else zero) - sum(
+                L[..., i, k] * x[k] for k in range(j, i)
+            )
+            x[i] = s / L[..., i, i]
+        cols.append(jnp.stack(x, axis=-1))  # row index i
+    Linv = jnp.stack(cols, axis=-1)  # (..., n(i), n(j)) = L^-1
+    return jnp.einsum("...ki,...kj->...ij", Linv, Linv)  # L^-T L^-1
+
+
 def eigh3x3(S: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Analytic eigendecomposition of batched symmetric (..., 3, 3).
 
@@ -102,7 +161,7 @@ def eigh3x3(S: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     p2 = jnp.sum(A * A, axis=(-2, -1)) / 6.0
     p = jnp.sqrt(jnp.maximum(p2, 1e-30))
     # r = det(A/p) / 2 in [-1, 1]
-    detA = jnp.linalg.det(A)
+    detA = det3x3(A)
     r = jnp.clip(detA / (2.0 * p * p * p + 1e-38), -1.0, 1.0)
     phi = jnp.arccos(r) / 3.0
     l0 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)  # smallest

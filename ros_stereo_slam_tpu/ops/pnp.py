@@ -83,7 +83,7 @@ def _p6p_dlt(X: jnp.ndarray, xn: jnp.ndarray) -> jnp.ndarray:
     u1 = u1 / jnp.maximum(jnp.linalg.norm(u1), 1e-12)
     u2 = jnp.cross(u0, u1)
     U = jnp.stack([u0, u1, u2], axis=1)
-    detB = jnp.linalg.det(B)
+    detB = linalg.det3x3(B)
     detuv = jnp.sign(detB) + (detB == 0.0)
     d = jnp.asarray([1.0, 1.0, 1.0], X.dtype).at[2].set(detuv)
     R = (U * d[None, :]) @ Vd.T
