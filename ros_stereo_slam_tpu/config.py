@@ -42,6 +42,14 @@ class FrontendConfig:
     # capacity snug (raise together with a denser grid_step).
     max_points: int = 512
     sampler: str = "grid"  # "grid" (reference C2) or "anms" (FAST + C3)
+    # Stereo correspondence source for (re)triangulation: "lk" = dense-grid
+    # epipolar LK (reference DENSE_FLAG=true, src/triangulation.cpp:87-101);
+    # "orb" = per-view ORB + mutual Hamming matmul matching (the reference's
+    # non-dense BFMatcher variant, src/triangulation.cpp:104-134).
+    stereo_matcher: str = "lk"
+    orb_match_max_dist: float = 64.0
+    orb_match_ratio: float = 0.8
+    orb_epipolar_tol_px: float = 2.0
     # Pyramidal LK (reference uses OpenCV defaults: win 21, 3 levels + base,
     # 30 iters; Python proto src/ROSslam.py:145 same).
     lk_window: int = 21
@@ -50,6 +58,13 @@ class FrontendConfig:
     lk_eps: float = 0.01
     lk_min_eig: float = 1e-7  # for images in [0, 1]
     lk_max_residual: float = 0.8  # contrast-normalized photometric gate
+    # Stereo (left->right) LK profile.  The pair is rectified, so the
+    # search is effectively 1-D along the row and converges in fewer
+    # iterations than the temporal track; the keyframe branch re-runs the
+    # stereo match every insertion (reference keyframes cost ~2x,
+    # SURVEY.md §3.2), so a lighter profile buys back most of that.
+    lk_stereo_iters: int = 6
+    lk_stereo_levels: int = 4
     # Fundamental-matrix RANSAC gate (reference src/tracking.cpp:30-43:
     # CV_RANSAC 3.0 px, 0.99; frame2frame 8-pt 1.0 px).
     fmat_iters: int = 256  # fixed hypothesis budget (parallel RANSAC)

@@ -51,6 +51,13 @@ def _lk_params(cfg: FrontendConfig) -> lk.LKParams:
     )
 
 
+def _lk_stereo_params(cfg: FrontendConfig) -> lk.LKParams:
+    """Lighter profile for the rectified L->R match (1-D search)."""
+    return _lk_params(cfg)._replace(
+        iters=cfg.lk_stereo_iters, levels=cfg.lk_stereo_levels
+    )
+
+
 @partial(jax.jit, static_argnames=("levels",))
 def preprocess(img: jnp.ndarray, levels: int) -> tuple:
     """Image -> pyramid tuple (computed once, reused by both LK call sites)."""
@@ -116,7 +123,7 @@ def stereo_bootstrap(
     world lift by T_wc.  Returns (new TrackState, n_valid scalar).
     """
     left0 = left_pyr[0]
-    res = lk.track(left_pyr, right_pyr, grid_pts, None, _lk_params(fe))
+    res = lk.track(left_pyr, right_pyr, grid_pts, None, _lk_stereo_params(fe))
     m = grid_mask & res.valid
     fres = ransac.fmat_ransac(
         key, grid_pts, res.points, m,

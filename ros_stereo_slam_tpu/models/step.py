@@ -32,6 +32,8 @@ from ros_stereo_slam_tpu.ops import (
     fast,
     interp,
     lk,
+    match,
+    orb,
     pnp,
     pyramid,
     ransac,
@@ -124,16 +126,35 @@ def _bootstrap_track(
     """
     fe = cfg.frontend
     cam = _cam_of(cfg)
-    grid_pts, grid_mask = _sample_keypoints(left_pyr, grid_pts, grid_mask, cfg)
-    res = lk.track(left_pyr, right_pyr, grid_pts, None, frontend._lk_params(fe))
-    m = grid_mask & res.valid
-    fres = ransac.fmat_ransac(
-        key, grid_pts, res.points, m,
-        thresh_px=fe.fmat_stereo_thresh_px, iters=fe.fmat_iters,
-    )
-    m = m & fres.inliers
+    if fe.stereo_matcher == "orb":
+        # Non-dense reference path (DENSE_FLAG=false): per-view features +
+        # brute-force descriptor matching (src/triangulation.cpp:104-134),
+        # here as one MXU Hamming matmul with an epipolar row gate.
+        fl = orb.detect_and_compute(left_pyr[0], fe.max_points, fe.fast_thresh / 255.0)
+        fr = orb.detect_and_compute(right_pyr[0], fe.max_points, fe.fast_thresh / 255.0)
+        dv = jnp.abs(fl.pts[:, None, 1] - fr.pts[None, :, 1])
+        disp = fl.pts[:, None, 0] - fr.pts[None, :, 0]
+        pair_ok = (dv <= fe.orb_epipolar_tol_px) & (disp > 0.1)
+        mres = match.mutual_hamming_match(
+            fl.desc_sign, fl.valid, fr.desc_sign, fr.valid,
+            max_dist=fe.orb_match_max_dist, ratio=fe.orb_match_ratio,
+            pair_mask=pair_ok,
+        )
+        grid_pts = fl.pts
+        right_pts = fr.pts[mres.idx]
+        m = mres.valid
+    else:
+        grid_pts, grid_mask = _sample_keypoints(left_pyr, grid_pts, grid_mask, cfg)
+        res = lk.track(left_pyr, right_pyr, grid_pts, None, frontend._lk_stereo_params(fe))
+        m = grid_mask & res.valid
+        fres = ransac.fmat_ransac(
+            key, grid_pts, res.points, m,
+            thresh_px=fe.fmat_stereo_thresh_px, iters=fe.fmat_iters,
+        )
+        m = m & fres.inliers
+        right_pts = res.points
     tri = triangulate.triangulate_rectified(
-        cam, jnp.float32(cfg.camera.baseline), grid_pts, res.points, m,
+        cam, jnp.float32(cfg.camera.baseline), grid_pts, right_pts, m,
         max_depth=cfg.keyframes.max_depth,
     )
     # Statistical outlier removal on the fresh cloud (reference applies
@@ -147,7 +168,7 @@ def _bootstrap_track(
     gray = interp.bilinear_at(left_pyr[0], grid_pts)
     colors = jnp.stack([gray, gray, gray], axis=-1)
     track = TrackState(pts2d=grid_pts, pts3d=pts_world, colors=colors, mask=clean)
-    return track, res.points, clean
+    return track, right_pts, clean
 
 
 def _right_cam_pose(T_wc: jnp.ndarray, baseline) -> jnp.ndarray:

@@ -1,23 +1,72 @@
+"""Scan-mode ablation profiler: attribute on-device frame cost by knob.
+
+Host-side per-stage timing is useless over the dev TPU tunnel (round-trip
+latency ~40 ms swamps compute), so cost attribution runs the WHOLE
+sequence as one scan program per config variant and differences the
+frames/s.  Each variant's delta vs baseline estimates that stage's
+on-device share.
+"""
+
+import os
+import sys
 import time
-import jax, jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
 import numpy as np
+
 from ros_stereo_slam_tpu.config import preset_odometry
 from ros_stereo_slam_tpu.data.synthetic import SyntheticWorld
 from ros_stereo_slam_tpu.models.pipeline import run_offline
 
-cfg = preset_odometry()
-world = SyntheticWorld(camera=cfg.camera, n_frames=17, seed=11)
-lefts, rights = [], []
-for i in range(17):
-    l, r, _ = world.render(i)
-    lefts.append(l); rights.append(r)
-L = np.stack(lefts); R = np.stack(rights)
-res = run_offline(cfg, L, R)  # compile + run
-print("keyframes:", res.is_keyframe.sum(), "/", len(res.is_keyframe))
-t0 = time.perf_counter()
-res = run_offline(cfg, L, R)
-dt = time.perf_counter() - t0
-print(f"scan 16 frames: {dt*1e3:.1f} ms -> {dt/16*1e3:.2f} ms/frame")
-with jax.profiler.trace("/tmp/jaxtrace2"):
-    res = run_offline(cfg, L, R)
-print("traced")
+N_FRAMES = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+
+cfg0 = preset_odometry()
+world = SyntheticWorld(camera=cfg0.camera, n_frames=N_FRAMES + 1, seed=11,
+                       half_w=18.0)
+frames = [world.render(i) for i in range(N_FRAMES + 1)]
+L = jnp.asarray(np.stack([f[0] for f in frames]), jnp.float32)
+R = jnp.asarray(np.stack([f[1] for f in frames]), jnp.float32)
+L = jax.device_put(L); R = jax.device_put(R)
+jax.block_until_ready((L, R))
+
+
+def fps_of(cfg, label, reps=3):
+    run_offline(cfg, L, R)  # compile+run (run_offline np-converts)
+    dt = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run_offline(cfg, L, R)
+        dt = min(dt, time.perf_counter() - t0)
+    print(f"{label:40s}: {N_FRAMES/dt:7.2f} fps   {dt/N_FRAMES*1e3:7.2f} ms/frame")
+    return dt / N_FRAMES
+
+
+def fe(**kw):
+    return dataclasses.replace(cfg0, frontend=dataclasses.replace(cfg0.frontend, **kw))
+
+
+def pn(**kw):
+    return dataclasses.replace(cfg0, pnp=dataclasses.replace(cfg0.pnp, **kw))
+
+
+base = fps_of(cfg0, "baseline")
+variants = [
+    (fe(lk_iters=5), "lk_iters 10 -> 5"),
+    (fe(lk_levels=3), "lk_levels 4 -> 3"),
+    (fe(lk_window=15), "lk_window 21 -> 15"),
+    (fe(fmat_iters=128), "fmat_iters 256 -> 128"),
+    (pn(iters=cfg0.pnp.iters // 2), f"pnp iters {cfg0.pnp.iters} -> half"),
+    (pn(refine_iters=max(1, cfg0.pnp.refine_iters // 2)),
+     f"pnp refine {cfg0.pnp.refine_iters} -> half"),
+    (dataclasses.replace(cfg0, keyframes=dataclasses.replace(
+        cfg0.keyframes, min_pnp_inliers=0)), "keyframes never trigger"),
+]
+for cfg, label in variants:
+    dt = fps_of(cfg, label)
+    print(f"{'':40s}  delta {1e3*(base-dt):+7.2f} ms/frame")
+fps_of(cfg0, "baseline (re-measured)")

@@ -1,15 +1,31 @@
-import time, sys
-import jax, jax.numpy as jnp
+"""Per-stage honest timing of the fused frame step on the current platform.
+
+Timings force a device->host transfer of each result (the dev TPU tunnel's
+block_until_ready can return before execution completes), and chain the
+dependency for the full-step measurement.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
 import numpy as np
+
 from ros_stereo_slam_tpu.config import preset_odometry
 from ros_stereo_slam_tpu.data.synthetic import SyntheticWorld
-from ros_stereo_slam_tpu.models import step as step_mod
-from ros_stereo_slam_tpu.ops import grid
+from ros_stereo_slam_tpu.models import frontend, step as step_mod
+from ros_stereo_slam_tpu.ops import grid, lk, pnp, pyramid, ransac
+from ros_stereo_slam_tpu.utils import lie
 
 cfg = preset_odometry()
 cam_c = cfg.camera
 world = SyntheticWorld(camera=cam_c, n_frames=3, seed=11)
-L0, R0, _ = world.render(0); L1, R1, _ = world.render(1)
+L0, R0, _ = world.render(0)
+L1, R1, _ = world.render(1)
 L0 = jnp.asarray(L0, jnp.float32); R0 = jnp.asarray(R0, jnp.float32)
 L1 = jnp.asarray(L1, jnp.float32); R1 = jnp.asarray(R1, jnp.float32)
 fe = cfg.frontend
@@ -17,20 +33,51 @@ pts, mask = grid.grid_points(cam_c.height, cam_c.width, fe.grid_step, fe.max_poi
 pts = jnp.asarray(pts); mask = jnp.asarray(mask)
 carry = step_mod.init_carry(L0, R0, pts, mask, jax.random.PRNGKey(0), cfg)
 jax.block_until_ready(carry)
+from ros_stereo_slam_tpu.models.step import _cam_of
+cam = _cam_of(cfg)
+
+
+def timed(name, fn, *args, reps=20):
+    out = fn(*args)
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+    dt = (time.perf_counter() - t0) / reps
+    print(f"{name:28s}: {dt*1e3:8.3f} ms")
+    return out
+
+
+print(f"platform: {jax.devices()[0].platform}")
+
+pyr_f = jax.jit(lambda im: tuple(pyramid.build_pyramid(im, fe.lk_levels)))
+cur_pyr = timed("build_pyramid", pyr_f, L1)
+ref_pyr = pyr_f(L0)
+np.asarray(ref_pyr[0])
+
+lk_f = jax.jit(lambda a, b, p: lk.track(a, b, p, None, frontend._lk_params(fe)))
+res = timed("lk.track (temporal)", lk_f, ref_pyr, cur_pyr, pts)
+
+m = mask & res.valid
+fmat_f = jax.jit(lambda k, p1, p2, mm: ransac.fmat_ransac(
+    k, p1, p2, mm, thresh_px=fe.fmat_thresh_px, iters=fe.fmat_iters))
+fres = timed("fmat_ransac", fmat_f, jax.random.PRNGKey(1), pts, res.points, m)
+
+m2 = m & fres.inliers
+pc = cfg.pnp
+pnp_f = jax.jit(lambda k, p3, p2, mm, Ti: pnp.pnp_ransac(
+    k, cam, p3, p2, mm, thresh_px=pc.thresh_px, iters=pc.iters,
+    refine_iters=pc.refine_iters, T_init=Ti,
+    retry_thresh_px=pc.retry_thresh_px, min_inliers=pc.min_inliers))
+timed("pnp_ransac", pnp_f, jax.random.PRNGKey(2), carry.track.pts3d,
+      res.points, m2, jnp.eye(4, dtype=jnp.float32))
 
 step_f = jax.jit(lambda c, l, r: step_mod.slam_frame_step(c, l, r, pts, mask, cfg))
-c = carry
-c, st = step_f(c, L1, R1); jax.block_until_ready(st)
-
-# serial chained timing (true dependency)
+c, st = step_f(carry, L1, R1)
+np.asarray(st.T_wc)
 t0 = time.perf_counter(); n = 20
 for _ in range(n):
     c, st = step_f(c, L1, R1)
-jax.block_until_ready(st)
-print(f"chained step: {(time.perf_counter()-t0)/n*1e3:.3f} ms")
-
-with jax.profiler.trace("/tmp/jaxtrace"):
-    for _ in range(5):
-        c, st = step_f(c, L1, R1)
-    jax.block_until_ready(st)
-print("trace done")
+    np.asarray(st.T_wc)
+print(f"{'FULL fused frame step':28s}: {(time.perf_counter()-t0)/n*1e3:8.3f} ms (incl host xfer)")
