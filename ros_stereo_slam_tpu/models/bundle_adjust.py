@@ -41,6 +41,98 @@ class BAResult(NamedTuple):
     rms_after: jnp.ndarray  # ()
 
 
+def _proj_nlast(cam: Pinhole, T_cw, Xl):
+    """Project landmarks in the N-last layout.
+
+    T_cw: (W, 4, 4); Xl: (3, N) — landmarks live in the LANE dimension.
+    Returns p (W, 3, N) camera-frame points, inv_z (W, N), pos (W, N),
+    u, v (W, N) pixel projections.
+    """
+    R = T_cw[:, :3, :3]
+    t = T_cw[:, :3, 3]
+    p = jnp.einsum("wij,jn->win", R, Xl) + t[:, :, None]  # (W, 3, N)
+    z = p[:, 2]
+    pos = z > 1e-3
+    inv_z = 1.0 / jnp.where(pos, z, 1.0)
+    u = cam.fx * p[:, 0] * inv_z + cam.cx
+    v = cam.fy * p[:, 1] * inv_z + cam.cy
+    return p, inv_z, pos, u, v
+
+
+def _residuals_nlast(cam: Pinhole, T_cw, Xl, obs_t):
+    """r (W, 2, N), pos (W, N); obs_t is (W, 2, N)."""
+    _, _, pos, u, v = _proj_nlast(cam, T_cw, Xl)
+    r = jnp.stack([u - obs_t[:, 0], v - obs_t[:, 1]], axis=1)
+    return r, pos
+
+
+def _jacobians_nlast(cam: Pinhole, T_cw, Xl, obs_t):
+    """N-last residuals + Jacobians.
+
+    TPU layout note: the (W, N, 2, 6) layout of :func:`_residual_jacobians`
+    puts the TINY dims (2, 6) in the trailing two positions, which the TPU
+    tiler pads to (8, 128) — e.g. a (8, 16384, 6, 3) f32 array occupies
+    ~537 MB of HBM instead of 9.4 MB, and every op on it runs at ~2% lane
+    utilization.  Keeping N in the lane dimension makes per-landmark 3x3
+    algebra elementwise VPU code and N-contractions true MXU matmuls.
+
+    Returns r (W, 2, N), Jp (W, 2, 6, N), Jl (W, 2, 3, N), pos (W, N).
+    """
+    R = T_cw[:, :3, :3]
+    p, inv_z, pos, u, v = _proj_nlast(cam, T_cw, Xl)
+    r = jnp.stack([u - obs_t[:, 0], v - obs_t[:, 1]], axis=1)
+
+    zero = jnp.zeros_like(inv_z)
+    # Jproj (W, 2, 3, N): d(u,v)/d p
+    Ju = jnp.stack([cam.fx * inv_z, zero, -cam.fx * p[:, 0] * inv_z * inv_z], 1)
+    Jv = jnp.stack([zero, cam.fy * inv_z, -cam.fy * p[:, 1] * inv_z * inv_z], 1)
+    Jproj = jnp.stack([Ju, Jv], axis=1)
+
+    # Jl[w,k,b,n] = sum_c Jproj[w,k,c,n] R[w,c,b] — 9 fused multiply-adds.
+    Jl = jnp.stack(
+        [
+            sum(Jproj[:, :, c] * R[:, c, b, None, None] for c in range(3))
+            for b in range(3)
+        ],
+        axis=2,
+    )  # (W, 2, 3, N)
+
+    # Jp = Jproj @ [I | -hat(p)]: first three columns are Jproj itself;
+    # the rotational columns are componentwise cross-product terms.
+    p0 = p[:, 0, None, :]
+    p1 = p[:, 1, None, :]
+    p2 = p[:, 2, None, :]
+    c3 = -Jproj[:, :, 1] * p2 + Jproj[:, :, 2] * p1
+    c4 = Jproj[:, :, 0] * p2 - Jproj[:, :, 2] * p0
+    c5 = -Jproj[:, :, 0] * p1 + Jproj[:, :, 1] * p0
+    Jp = jnp.concatenate(
+        [Jproj, jnp.stack([c3, c4, c5], axis=2)], axis=2
+    )  # (W, 2, 6, N)
+    return r, Jp, Jl, pos
+
+
+def _inv3x3_leading(M, eps: float = 1e-30):
+    """Adjugate inverse of a (3, 3, ...) stack — elementwise over the
+    trailing (lane) dims, mirroring :func:`ops.linalg.inv3x3`."""
+    a, b, c = M[0, 0], M[0, 1], M[0, 2]
+    d, e, f = M[1, 0], M[1, 1], M[1, 2]
+    g, h, i = M[2, 0], M[2, 1], M[2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > eps, det, eps)
+    adj = jnp.stack(
+        [
+            jnp.stack([A, -(b * i - c * h), b * f - c * e], 0),
+            jnp.stack([B, a * i - c * g, -(a * f - c * d)], 0),
+            jnp.stack([C, -(a * h - b * g), a * e - b * d], 0),
+        ],
+        axis=0,
+    )
+    return adj * inv_det[None, None]
+
+
 def _residual_jacobians(cam: Pinhole, T_cw, X, uv):
     """All-pairs residuals/Jacobians.
 
@@ -103,50 +195,77 @@ def ba_solve(
     N = landmarks.shape[0]
     lm_valid = jnp.any(obs_mask, axis=0)  # (N,)
 
-    def rms(T, X):
-        r, _, _, pos = _residual_jacobians(cam, T, X, obs)
+    # N-last internal layout (see _jacobians_nlast): landmarks ride the
+    # lane dimension; the API-level (N, 3)/(W, N, 2) arrays are transposed
+    # ONCE here (a few MB) instead of paying (8, 128)-tile padding on
+    # every (W, N, 6, 3)-shaped intermediate of every GN iteration.
+    Xl0 = landmarks.T  # (3, N)
+    obs_t = jnp.swapaxes(obs, 1, 2)  # (W, 2, N)
+
+    def rms(T, Xl):
+        r, pos = _residuals_nlast(cam, T, Xl, obs_t)
         m = obs_mask & pos
         n = jnp.maximum(allsum(jnp.sum(m)), 1)
         return jnp.sqrt(
-            allsum(jnp.sum(jnp.where(m, jnp.sum(r * r, -1), 0.0))) / n
+            allsum(jnp.sum(jnp.where(m, jnp.sum(r * r, 1), 0.0))) / n
         )
 
-    rms0 = rms(T_cw, landmarks)
+    rms0 = rms(T_cw, Xl0)
 
     def gn_step(_, state):
-        T, X = state
-        r, Jp, Jl, pos = _residual_jacobians(cam, T, X, obs)
-        rn = jnp.linalg.norm(r, axis=-1)
+        T, Xl = state
+        r, Jp, Jl, pos = _jacobians_nlast(cam, T, Xl, obs_t)
+        rn = jnp.sqrt(jnp.sum(r * r, axis=1))  # (W, N)
         wh = jnp.where(rn <= huber_px, 1.0, huber_px / jnp.maximum(rn, 1e-9))
         wgt = wh * (obs_mask & pos).astype(T.dtype)  # (W, N)
 
-        Jp_w = Jp * wgt[..., None, None]
-        Jl_w = Jl * wgt[..., None, None]
+        Jp_w = Jp * wgt[:, None, None, :]
+        Jl_w = Jl * wgt[:, None, None, :]
 
-        U = allsum(jnp.einsum("wnka,wnkb->wab", Jp_w, Jp))  # (W, 6, 6)
-        V = jnp.einsum("wnka,wnkb->nab", Jl_w, Jl)  # (N, 3, 3) local
-        Wc = jnp.einsum("wnka,wnkb->wnab", Jp_w, Jl)  # (W, N, 6, 3) local
-        bp = allsum(jnp.einsum("wnka,wnk->wa", Jp_w, r))  # (W, 6)
-        bl = jnp.einsum("wnka,wnk->na", Jl_w, r)  # (N, 3) local
+        # N-contractions are MXU matmuls (contraction dim in lanes);
+        # small-dim contractions (k=2, b/c=3) are unrolled multiply-adds —
+        # a dot_general over them would lower to padded micro-matmuls.
+        U = allsum(
+            sum(jnp.einsum("wan,wbn->wab", Jp_w[:, k], Jp[:, k])
+                for k in range(2))
+        )  # (W, 6, 6)
+        V = jnp.sum(
+            Jl_w[:, :, :, None, :] * Jl[:, :, None, :, :], axis=(0, 1)
+        )  # (3, 3, N) local
+        Wc = jnp.sum(
+            Jp_w[:, :, :, None, :] * Jl[:, :, None, :, :], axis=1
+        )  # (W, 6, 3, N) local
+        bp = allsum(
+            sum(jnp.einsum("wan,wn->wa", Jp_w[:, k], r[:, k])
+                for k in range(2))
+        )  # (W, 6)
+        bl = jnp.sum(Jl_w * r[:, :, None, :], axis=(0, 1))  # (3, N) local
 
         # Marquardt (diag-relative) damping: keeps the equilibrated reduced
         # system's condition number <= ~1/damping, which f32 CG needs; the
         # absolute epsilon keeps zero-observation blocks invertible.
         I6 = jnp.eye(6, dtype=T.dtype)
-        I3 = jnp.eye(3, dtype=T.dtype)
         dU = jnp.diagonal(U, axis1=-2, axis2=-1)
-        dV = jnp.diagonal(V, axis1=-2, axis2=-1)
         U = U + (damping * dU + 1e-6)[..., None] * I6[None]
-        V = V + (damping * dV + 1e-6)[..., None] * I3[None]
-        V_inv = linalg.inv3x3(V)  # batched 3x3 — the local elimination
-        V_inv = jnp.where(lm_valid[:, None, None], V_inv, 0.0)
+        for i in range(3):
+            V = V.at[i, i].add(damping * V[i, i] + 1e-6)
+        V_inv = _inv3x3_leading(V)  # elementwise — the local elimination
+        V_inv = V_inv * lm_valid[None, None, :].astype(T.dtype)
 
         # Reduced camera system: S = U - W V^-1 W^T (cross-pose coupling);
         # the landmark-sum contractions combine across shards via psum.
-        WVi = jnp.einsum("wnab,nbc->wnac", Wc, V_inv)  # (W, N, 6, 3)
-        S_off = -allsum(jnp.einsum("wnac,vnbc->wvab", WVi, Wc))  # (W, W, 6, 6)
+        WVi = jnp.sum(
+            Wc[:, :, :, None, :] * V_inv[None, None, :, :, :], axis=2
+        )  # (W, 6, 3, N)
+        S_off = -allsum(
+            sum(jnp.einsum("wan,vbn->wvab", WVi[:, :, c], Wc[:, :, c])
+                for c in range(3))
+        )  # (W, W, 6, 6)
         S = S_off.at[jnp.arange(W), jnp.arange(W)].add(U)
-        rhs = -(bp - allsum(jnp.einsum("wnac,nc->wa", WVi, bl)))  # (W, 6)
+        rhs = -(bp - allsum(
+            sum(jnp.einsum("wan,n->wa", WVi[:, :, c], bl[c])
+                for c in range(3))
+        ))  # (W, 6)
 
         # Gauge: freeze `fixed` poses (identity rows/cols, zero rhs).
         free = (~fixed).astype(T.dtype)
@@ -212,17 +331,19 @@ def ba_solve(
         dp = dp * free[:, None]
 
         # Back-substitute landmarks: dx = V^-1 (-bl - W^T dp).
-        dx = jnp.einsum("nab,nb->na", V_inv, -bl - jnp.einsum("wnab,wa->nb", Wc, dp))
+        tmp = -bl - jnp.sum(Wc * dp[:, :, None, None], axis=(0, 1))  # (3, N)
+        dx = jnp.sum(V_inv * tmp[None, :, :], axis=1)  # (3, N)
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
-        dx = dx * lm_valid[:, None]
+        dx = dx * lm_valid[None, :]
 
         T_new = jnp.einsum(
             "wij,wjk->wik", jax.vmap(lie.exp_se3)(dp), T
         )
-        return (T_new, X + dx)
+        return (T_new, Xl + dx)
 
-    T_fin, X_fin = jax.lax.fori_loop(0, iters, gn_step, (T_cw, landmarks))
-    rms1 = rms(T_fin, X_fin)
+    T_fin, Xl_fin = jax.lax.fori_loop(0, iters, gn_step, (T_cw, Xl0))
+    rms1 = rms(T_fin, Xl_fin)
+    X_fin = Xl_fin.T
     # Safety: if the refinement diverged (rare, ill-conditioned windows),
     # keep the input state.
     better = (

@@ -105,14 +105,25 @@ def main() -> None:
             lambda x: np.asarray(x) if hasattr(x, "shape") else x, out
         )
 
+    def sync(out):
+        # Synchronize on ONE small leaf: a device->host copy cannot
+        # complete before the computation it depends on does, and every
+        # returned leaf comes out of the same XLA program, so one transfer
+        # is a full barrier.  Transferring EVERY leaf (force) pays a
+        # per-array tunnel round-trip (~30 ms each on the dev TPU tunnel)
+        # that would be billed to the solve.
+        leaves = jax.tree_util.tree_leaves(out)
+        np.asarray(min(leaves, key=lambda x: getattr(x, "size", 1 << 60)))
+
     def time_it(fn, *a, reps=3, **kw):
-        force(fn(*a, **kw))  # compile
+        force(fn(*a, **kw))  # compile + one full materialization
         best = np.inf
         for _ in range(reps):
             t0 = time.perf_counter()
-            out = force(fn(*a, **kw))
+            out = fn(*a, **kw)
+            sync(out)
             best = min(best, time.perf_counter() - t0)
-        return best, out
+        return best, force(out)
 
     results = []
 
