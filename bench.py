@@ -29,7 +29,7 @@ REFERENCE_CPU_FPS = 10.0
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=64, help="timed frames")
+    ap.add_argument("--frames", type=int, default=192, help="timed frames")
     ap.add_argument("--platform", type=str, default=None)
     ap.add_argument("--mode", choices=["scan", "stream"], default="scan")
     args = ap.parse_args()

@@ -55,6 +55,16 @@ class FrontendConfig:
     lk_window: int = 21
     lk_levels: int = 4  # pyramid levels incl. base
     lk_iters: int = 10
+    # Constant-velocity motion-model seeding for the temporal track: predict
+    # this frame's pose as T_prev @ dT_prev, project the tracked landmarks,
+    # and hand LK the predicted flow.  A good seed absorbs the large inter-
+    # frame motion that the coarse pyramid levels exist to find, so the
+    # seeded track runs on a shallow pyramid (lk_seeded_levels) — roughly
+    # half the per-frame LK cost.  "none" reproduces the reference's
+    # unseeded coarse-to-fine search (cv::calcOpticalFlowPyrLK has no seed
+    # at either call site, /root/reference/src/tracking.cpp:18,52).
+    lk_seed: str = "const_velocity"
+    lk_seeded_levels: int = 2
     lk_eps: float = 0.01
     lk_min_eig: float = 1e-7  # for images in [0, 1]
     lk_max_residual: float = 0.8  # contrast-normalized photometric gate
@@ -65,6 +75,13 @@ class FrontendConfig:
     # SURVEY.md §3.2), so a lighter profile buys back most of that.
     lk_stereo_iters: int = 6
     lk_stereo_levels: int = 4
+    # Seeded stereo profile: the dense grid is STATIC, so each slot's last
+    # measured disparity is a strong prior for the next re-triangulation
+    # (scene depth at a pixel drifts slowly between keyframes).  When
+    # lk_seed is enabled the keyframe-branch stereo match starts from that
+    # prior on a shallow pyramid; the first bootstrap (no prior yet) always
+    # runs the full coarse-to-fine profile.
+    lk_stereo_seeded_levels: int = 2
     # Fundamental-matrix RANSAC gate (reference src/tracking.cpp:30-43:
     # CV_RANSAC 3.0 px, 0.99; frame2frame 8-pt 1.0 px).
     fmat_iters: int = 256  # fixed hypothesis budget (parallel RANSAC)

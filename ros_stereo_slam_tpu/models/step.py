@@ -41,7 +41,7 @@ from ros_stereo_slam_tpu.ops import (
     triangulate,
 )
 from ros_stereo_slam_tpu.utils import lie
-from ros_stereo_slam_tpu.utils.camera import Pinhole
+from ros_stereo_slam_tpu.utils.camera import Pinhole, project
 
 
 class FrameStats(NamedTuple):
@@ -93,6 +93,12 @@ class SlamCarry(NamedTuple):
     key: jax.Array
     frame_idx: jnp.ndarray  # () i32
     ba: BAState | None = None  # present iff cfg.ba_enabled
+    # Previous inter-frame motion T_{t-1}^w^-1 @ T_t^w — the constant-
+    # velocity prior that seeds the temporal LK track (lk_seed config).
+    dT: jnp.ndarray | None = None  # (4, 4)
+    # Last measured L->R flow per (static) grid slot — the disparity prior
+    # that seeds the keyframe branch's stereo re-match.
+    stereo_flow: jnp.ndarray | None = None  # (N, 2)
 
 
 def _cam_of(cfg: PipelineConfig) -> Pinhole:
@@ -117,12 +123,15 @@ def _sample_keypoints(left_pyr, grid_pts, grid_mask, cfg: PipelineConfig):
 
 
 def _bootstrap_track(
-    left_pyr, right_pyr, grid_pts, grid_mask, T_wc, key, cfg: PipelineConfig
+    left_pyr, right_pyr, grid_pts, grid_mask, T_wc, key, cfg: PipelineConfig,
+    stereo_flow=None,
 ) -> tuple[TrackState, jnp.ndarray, jnp.ndarray]:
     """Stereo LK -> F-gate -> triangulate -> SOR -> world lift (C6+C14).
 
     Returns (track, right_uv, right_mask) — the right-view matches feed
-    the BA window's scale anchor.
+    the BA window's scale anchor.  `stereo_flow` (N, 2), if given, seeds
+    the L->R match from each grid slot's last measured disparity and the
+    search runs on pyramids already sliced to the seeded depth.
     """
     fe = cfg.frontend
     cam = _cam_of(cfg)
@@ -145,7 +154,10 @@ def _bootstrap_track(
         m = mres.valid
     else:
         grid_pts, grid_mask = _sample_keypoints(left_pyr, grid_pts, grid_mask, cfg)
-        res = lk.track(left_pyr, right_pyr, grid_pts, None, frontend._lk_stereo_params(fe))
+        res = lk.track(
+            left_pyr, right_pyr, grid_pts, stereo_flow,
+            frontend._lk_stereo_params(fe),
+        )
         m = grid_mask & res.valid
         fres = ransac.fmat_ransac(
             key, grid_pts, res.points, m,
@@ -267,7 +279,32 @@ def slam_frame_step(
     cur_pyr = tuple(pyramid.build_pyramid(left_img, fe.lk_levels))
 
     # --- temporal tracking + F-gate (C4 + C5) ---
-    res = lk.track(carry.ref_pyr, cur_pyr, carry.track.pts2d, None, frontend._lk_params(fe))
+    if fe.lk_seed == "const_velocity" and carry.dT is not None:
+        # Predict the pose by replaying the last inter-frame motion, project
+        # the landmarks, and track on a shallow pyramid from that seed.
+        T_pred_cw = lie.inv_se3(carry.T_wc @ carry.dT)
+        uv_pred, z_ok = project(
+            cam, lie.transform_points(T_pred_cw, carry.track.pts3d)
+        )
+        h0, w0 = cur_pyr[0].shape
+        seed_ok = (
+            z_ok
+            & jnp.all(jnp.isfinite(uv_pred), axis=-1)
+            & interp.in_bounds(uv_pred, h0, w0, fe.lk_window // 2 + 1)
+        )
+        init_flow = jnp.where(
+            seed_ok[:, None], uv_pred - carry.track.pts2d, 0.0
+        )
+        n_lvl = min(fe.lk_seeded_levels, fe.lk_levels)
+        res = lk.track(
+            carry.ref_pyr[:n_lvl], cur_pyr[:n_lvl], carry.track.pts2d,
+            init_flow, frontend._lk_params(fe),
+        )
+    else:
+        res = lk.track(
+            carry.ref_pyr, cur_pyr, carry.track.pts2d, None,
+            frontend._lk_params(fe),
+        )
     m = carry.track.mask & res.valid
     fres = ransac.fmat_ransac(
         k_f, carry.track.pts2d, res.points, m,
@@ -302,24 +339,44 @@ def slam_frame_step(
     # --- keyframe trigger + re-triangulation (C8) ---
     is_kf = (p.n_inliers < kfc.min_pnp_inliers) | (~tracking_ok)
 
+    stereo_seeded = (
+        fe.lk_seed == "const_velocity"
+        and fe.sampler == "grid"
+        and fe.stereo_matcher == "lk"
+        and carry.stereo_flow is not None
+    )
+
     def kf_branch(_):
-        right_pyr = tuple(pyramid.build_pyramid(right_img, fe.lk_levels))
-        track, r_uv, r_mask = _bootstrap_track(
-            cur_pyr, right_pyr, grid_pts, grid_mask, T_wc, k_kf, cfg
-        )
+        if stereo_seeded:
+            n_lvl = min(fe.lk_stereo_seeded_levels, fe.lk_levels)
+            right_pyr = tuple(pyramid.build_pyramid(right_img, n_lvl))
+            track, r_uv, r_mask = _bootstrap_track(
+                cur_pyr[:n_lvl], right_pyr, grid_pts, grid_mask, T_wc, k_kf,
+                cfg, stereo_flow=carry.stereo_flow,
+            )
+            flow = jnp.where(
+                track.mask[:, None], r_uv - grid_pts, carry.stereo_flow
+            )
+        else:
+            right_pyr = tuple(pyramid.build_pyramid(right_img, fe.lk_levels))
+            track, r_uv, r_mask = _bootstrap_track(
+                cur_pyr, right_pyr, grid_pts, grid_mask, T_wc, k_kf, cfg
+            )
+            flow = carry.stereo_flow
         if cfg.ba_enabled:
             new_ba = _ba_reset(track, r_uv, r_mask, T_wc, track.pts2d, cfg)
         else:
             new_ba = None
-        return track, new_ba
+        return track, new_ba, flow
 
     def continue_branch(_):
         return (
             track_cur._replace(pts2d=res.points, mask=p.inliers & m),
             ba_state,
+            carry.stereo_flow,
         )
 
-    new_track, new_ba = lax.cond(is_kf, kf_branch, continue_branch, None)
+    new_track, new_ba, new_flow = lax.cond(is_kf, kf_branch, continue_branch, None)
     new_kf_store = lax.cond(
         is_kf,
         lambda s: _insert_keyframe(s, new_track, T_wc, carry.frame_idx),
@@ -327,6 +384,13 @@ def slam_frame_step(
         carry.keyframes,
     )
 
+    if carry.dT is not None:
+        # Velocity update: keep the last good estimate through a tracking
+        # failure (the held pose would otherwise zero the prior and strand
+        # the next frame's seed).
+        dT_new = jnp.where(tracking_ok, lie.inv_se3(carry.T_wc) @ T_wc, carry.dT)
+    else:
+        dT_new = None
     new_carry = SlamCarry(
         track=new_track,
         T_wc=T_wc,
@@ -335,6 +399,8 @@ def slam_frame_step(
         key=key,
         frame_idx=carry.frame_idx + 1,
         ba=new_ba,
+        dT=dT_new,
+        stereo_flow=new_flow,
     )
     stats = FrameStats(
         T_wc=T_wc,
@@ -373,9 +439,14 @@ def init_carry(
         if cfg.ba_enabled
         else None
     )
+    stereo_flow = jnp.where(
+        track.mask[:, None], r_uv - track.pts2d, jnp.zeros_like(r_uv)
+    )
     return SlamCarry(
         track=track, T_wc=T0, keyframes=kf, ref_pyr=left_pyr,
         key=key, frame_idx=jnp.int32(1), ba=ba,
+        dT=jnp.eye(4, dtype=jnp.float32),
+        stereo_flow=stereo_flow,
     )
 
 
