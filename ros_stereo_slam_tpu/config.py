@@ -65,6 +65,10 @@ class FrontendConfig:
     # at either call site, /root/reference/src/tracking.cpp:18,52).
     lk_seed: str = "const_velocity"
     lk_seeded_levels: int = 2
+    # Per-level GN iterations for the SEEDED temporal track: the seed
+    # starts within a few px, so fewer iterations converge (unseeded
+    # tracks keep the full lk_iters).
+    lk_seeded_iters: int = 6
     lk_eps: float = 0.01
     lk_min_eig: float = 1e-7  # for images in [0, 1]
     lk_max_residual: float = 0.8  # contrast-normalized photometric gate

@@ -271,7 +271,58 @@ class PoseGraph:
             damping=self.config.damping,
         )
 
-    # -- persistence (reference saveStructure, poseGraph.h:140-179) --------
+    # -- persistence (reference saveStructure, poseGraph.h:140-179; load
+    # restores what g2o's load() would — the reference saves but never
+    # resumes, SURVEY.md §5) -----------------------------------------------
+
+    @classmethod
+    def load(cls, path: str, config: PGOConfig) -> tuple["PoseGraph", np.ndarray]:
+        """Parse a `.g2o` text file saved by :meth:`save`.
+
+        Returns (graph, poses) where poses is a (max_poses, 4, 4) array
+        (vertices 0..count-1 filled, identity beyond — the layout
+        :meth:`optimize` expects); consecutive-index edges become the
+        odometry chain, all others loop edges.
+        """
+        from ros_stereo_slam_tpu.utils.lie import rot_from_quat
+
+        verts: dict[int, np.ndarray] = {}
+        edges: list[tuple[int, int, np.ndarray]] = []
+
+        def to_T(vals):
+            tx, ty, tz, qx, qy, qz, qw = vals
+            q = jnp.asarray([qw, qx, qy, qz], jnp.float32)
+            T = np.eye(4, dtype=np.float32)
+            T[:3, :3] = np.asarray(rot_from_quat(q))
+            T[:3, 3] = (tx, ty, tz)
+            return T
+
+        with open(path) as f:
+            for line in f:
+                tok = line.split()
+                if not tok:
+                    continue
+                if tok[0] == "VERTEX_SE3:QUAT":
+                    verts[int(tok[1])] = to_T([float(x) for x in tok[2:9]])
+                elif tok[0] == "EDGE_SE3:QUAT":
+                    i, j = int(tok[1]), int(tok[2])
+                    edges.append((i, j, to_T([float(x) for x in tok[3:10]])))
+
+        g = cls(config)
+        g.initialize()
+        count = (max(verts) + 1) if verts else 1
+        poses = np.tile(np.eye(4, dtype=np.float32), (config.max_poses, 1, 1))
+        for i, T in verts.items():
+            poses[i] = T
+        odo = np.tile(np.eye(4, dtype=np.float32), (config.max_poses, 1, 1))
+        for i, j, Z in edges:
+            if j == i + 1:
+                odo[j] = Z
+            else:
+                g.add_loop(i, j, jnp.asarray(Z))
+        g.odo_Z = jnp.asarray(odo)
+        g.count = count
+        return g, poses
 
     def save(self, path: str, poses: np.ndarray) -> None:
         """g2o-compatible text dump (VERTEX_SE3:QUAT / EDGE_SE3:QUAT)."""

@@ -298,7 +298,7 @@ def slam_frame_step(
         n_lvl = min(fe.lk_seeded_levels, fe.lk_levels)
         res = lk.track(
             carry.ref_pyr[:n_lvl], cur_pyr[:n_lvl], carry.track.pts2d,
-            init_flow, frontend._lk_params(fe),
+            init_flow, frontend._lk_params(fe)._replace(iters=fe.lk_seeded_iters),
         )
     else:
         res = lk.track(

@@ -143,3 +143,35 @@ def test_g2o_save(tmp_path):
     lines = open(path).read().splitlines()
     assert sum(ln.startswith("VERTEX_SE3:QUAT") for ln in lines) == 4
     assert sum(ln.startswith("EDGE_SE3:QUAT") for ln in lines) == 4  # 3 odo + 1 loop
+
+
+def test_g2o_roundtrip(tmp_path):
+    cfg = PGOConfig(max_poses=8, max_loop_edges=2)
+    pg = pose_graph.PoseGraph(cfg)
+    pg.initialize()
+    gt = _circle_trajectory(5)
+    for i in range(1, 5):
+        pg.add_odometry(jnp.asarray(np.linalg.inv(gt[i - 1]) @ gt[i], jnp.float32))
+    Z_loop = jnp.asarray(np.linalg.inv(gt[4]) @ gt[1], jnp.float32)
+    pg.add_loop(4, 1, Z_loop)
+    path = str(tmp_path / "graph.g2o")
+    pg.save(path, gt)
+
+    pg2, poses = pose_graph.PoseGraph.load(path, cfg)
+    assert pg2.count == 5
+    assert pg2.n_loops == 1
+    assert poses.shape == (cfg.max_poses, 4, 4)
+    np.testing.assert_allclose(poses[:5], gt[:5], atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(pg2.odo_Z[1:5]), np.asarray(pg.odo_Z[1:5]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(pg2.loop_Z[0]), np.asarray(Z_loop), atol=1e-5
+    )
+    assert int(pg2.loop_i[0]) == 4 and int(pg2.loop_j[0]) == 1
+    # optimizing the reloaded graph gives the same result as the original
+    gt_pad = np.tile(np.eye(4, dtype=np.float32), (cfg.max_poses, 1, 1))
+    gt_pad[:5] = gt[:5]
+    a = np.asarray(pg.optimize(jnp.asarray(gt_pad)))
+    b = np.asarray(pg2.optimize(jnp.asarray(poses)))
+    np.testing.assert_allclose(a, b, atol=1e-4)

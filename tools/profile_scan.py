@@ -56,8 +56,9 @@ def pn(**kw):
 
 base = fps_of(cfg0, "baseline")
 variants = [
-    (fe(lk_iters=5), "lk_iters 10 -> 5"),
-    (fe(lk_levels=3), "lk_levels 4 -> 3"),
+    (fe(lk_seed="none"), "seeding off (4-level coarse-to-fine)"),
+    (fe(lk_iters=6), "lk_iters 10 -> 6"),
+    (fe(lk_seeded_levels=1), "seeded levels 2 -> 1"),
     (fe(lk_window=15), "lk_window 21 -> 15"),
     (fe(fmat_iters=128), "fmat_iters 256 -> 128"),
     (pn(iters=cfg0.pnp.iters // 2), f"pnp iters {cfg0.pnp.iters} -> half"),
