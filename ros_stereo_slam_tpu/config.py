@@ -69,6 +69,11 @@ class FrontendConfig:
     # starts within a few px, so fewer iterations converge (unseeded
     # tracks keep the full lk_iters).
     lk_seeded_iters: int = 6
+    # Rescue: if the seeded track's PnP lands under this many inliers the
+    # frame re-tracks unseeded on the FULL pyramid (lax.cond — executed
+    # only on distressed frames).  Catches a wrong velocity prior: the
+    # first frame (identity prior) and motion discontinuities.
+    lk_rescue_min_inliers: int = 50
     lk_eps: float = 0.01
     lk_min_eig: float = 1e-7  # for images in [0, 1]
     lk_max_residual: float = 0.8  # contrast-normalized photometric gate
@@ -131,7 +136,10 @@ class LoopClosureConfig:
     dislocal: int = 20  # skip this many recent frames (detector default)
     max_db_results: int = 50
     min_nss: float = 0.005
-    alpha: float = 0.3  # island score factor (ref uses 0.9 w/ use_nss)
+    # removeLowScores cutoff on nss-normalized scores — ABSOLUTE, as the
+    # reference (TemplatedLoopDetector.h:748; configured 0.9 with use_nss,
+    # visualSLAM.h:124).
+    alpha: float = 0.9
     k_consistency: int = 1  # temporal window, reference visualSLAM.h:125
     geom_min_points: int = 12
     geom_ransac_iters: int = 256

@@ -186,9 +186,12 @@ class LoopDetector:
             ids = np.asarray(ids_d)
             scores = np.asarray(scores_d)
             if ns >= cfg.min_nss and scores.size and scores[0] > 0:
-                # normalized scores + removeLowScores(alpha * best)
+                # normalized scores + removeLowScores(alpha) — ABSOLUTE
+                # cutoff on the nss-normalized score, as the reference
+                # (TemplatedLoopDetector.h:744-748 scales by 1/ns then
+                # removes entries below alpha; alpha=0.9 in use)
                 nss = scores / max(ns, 1e-6)
-                keep = nss >= cfg.alpha * nss[0]
+                keep = nss >= cfg.alpha
                 keep &= scores > -1e8
                 islands = self._islands(ids[keep], nss[keep])
                 if islands:

@@ -88,16 +88,20 @@ class StereoSLAM:
     def _measure_loop_edge(
         self, cand: loop_closure.LoopCandidate, right_dev: jnp.ndarray
     ) -> jnp.ndarray | None:
-        """Metric SE(3) loop-edge measurement Z = T_q^-1 T_{match-1}.
+        """Metric SE(3) loop-edge measurement Z = T_q^-1 T_match.
 
         The reference planned this upgrade but never wired it
-        (``getLCMeasurement``, ``dump.cpp:331-348``); it shipped identity
-        closures instead (``poseGraph.h:118``).  Here: the query's ORB
-        features are stereo-triangulated (3D in the query camera frame),
-        the geometric check's descriptor correspondences give their 2D
-        observations in the matched frame, and PnP solves the match
-        camera's pose in that local frame.  Returns None (-> identity
-        fallback) if PnP starves.
+        (``getLCMeasurement``, ``dump.cpp:331-348`` — a direct PnP between
+        the two keyframes); it shipped identity closures instead
+        (``poseGraph.h:118``).  Here: the query's ORB features are
+        stereo-triangulated (3D in the query camera frame), the geometric
+        check's descriptor correspondences give their 2D observations in
+        the matched frame, and PnP solves the match camera's pose in that
+        local frame.  The edge attaches to vertex ``match`` itself (the
+        frame PnP actually measured against) — composing down to the
+        reference's ``match-1`` vertex through the estimated odometry edge
+        would contaminate a cm-accurate measurement with that edge's drift.
+        Returns None (-> identity fallback to ``match-1``) if PnP starves.
         """
         from ros_stereo_slam_tpu.models import frontend
         from ros_stereo_slam_tpu.ops import lk, pnp, triangulate
@@ -131,12 +135,7 @@ class StereoSLAM:
         )
         if int(res.n_inliers) < cfg.loop.geom_min_points:
             return None
-        Z_q_match = lie.inv_se3(res.T_cw)  # match cam in query frame
-        if cand.match == 0:
-            return Z_q_match
-        # Compose to vertex match-1 through the stored odometry edge
-        # Z_odo = T_{m-1}^-1 T_m:  T_q^-1 T_{m-1} = (T_q^-1 T_m) Z_odo^-1.
-        return Z_q_match @ lie.inv_se3(self.graph.odo_Z[cand.match])
+        return lie.inv_se3(res.T_cw)  # match cam in query frame
 
     # -- public API --------------------------------------------------------
 
@@ -184,13 +183,15 @@ class StereoSLAM:
         cand = self._detect_loop(left_dev)
         loop_closed = False
         if cand is not None:
-            # 3) loop edge to match-1 (LCidx): PnP-measured relative pose
-            # when configured (identity fallback — the reference's shipped
-            # semantics); then global optimization + trajectory/map rewrite.
-            lc_idx = max(cand.match - 1, 0)
+            # 3) loop edge: PnP-measured relative pose to vertex `match`
+            # when configured; identity edge to `match-1` (LCidx) as the
+            # reference's shipped semantics / fallback
+            # (``src/optimizationStuff.cpp:59-63``, ``poseGraph.h:118``).
+            # Then global optimization + trajectory/map rewrite.
             Z_loop = None
             if cfg.loop.edge_measurement == "pnp":
                 Z_loop = self._measure_loop_edge(cand, right_dev)
+            lc_idx = cand.match if Z_loop is not None else max(cand.match - 1, 0)
             self.graph.add_loop(cand.query, lc_idx, Z_loop)
             old_poses = self.trajectory_dev
             new_poses = self.graph.optimize(old_poses)

@@ -278,7 +278,31 @@ def slam_frame_step(
 
     cur_pyr = tuple(pyramid.build_pyramid(left_img, fe.lk_levels))
 
-    # --- temporal tracking + F-gate (C4 + C5) ---
+    # --- temporal tracking + F-gate + PnP (C4 + C5 + C7) ---
+    T_prior = lie.inv_se3(carry.T_wc)
+
+    def track_and_pnp(ref_pyr, c_pyr, init_flow, lk_params, keys):
+        """LK track -> F-RANSAC gate -> PnP with the folded retry ladder
+        (``src/tracking.cpp:46-91``, ``src/rosFuncs.cpp:73-94``).  The
+        previous pose seeds a planar-safe GN hypothesis family (the P6P
+        DLT degenerates on single-wall views)."""
+        kf_, kp_ = keys
+        r = lk.track(ref_pyr, c_pyr, carry.track.pts2d, init_flow, lk_params)
+        mm = carry.track.mask & r.valid
+        fr = ransac.fmat_ransac(
+            kf_, carry.track.pts2d, r.points, mm,
+            thresh_px=fe.fmat_thresh_px, iters=fe.fmat_iters,
+        )
+        mm = mm & fr.inliers
+        pp = pnp.pnp_ransac(
+            kp_, cam, carry.track.pts3d, r.points, mm,
+            thresh_px=pc.thresh_px, iters=pc.iters,
+            refine_iters=pc.refine_iters,
+            T_init=T_prior, retry_thresh_px=pc.retry_thresh_px,
+            min_inliers=pc.min_inliers,
+        )
+        return r.points, mm, pp
+
     if fe.lk_seed == "const_velocity" and carry.dT is not None:
         # Predict the pose by replaying the last inter-frame motion, project
         # the landmarks, and track on a shallow pyramid from that seed.
@@ -296,33 +320,28 @@ def slam_frame_step(
             seed_ok[:, None], uv_pred - carry.track.pts2d, 0.0
         )
         n_lvl = min(fe.lk_seeded_levels, fe.lk_levels)
-        res = lk.track(
-            carry.ref_pyr[:n_lvl], cur_pyr[:n_lvl], carry.track.pts2d,
-            init_flow, frontend._lk_params(fe)._replace(iters=fe.lk_seeded_iters),
+        pts_s, m_s, p_s = track_and_pnp(
+            carry.ref_pyr[:n_lvl], cur_pyr[:n_lvl], init_flow,
+            frontend._lk_params(fe)._replace(iters=fe.lk_seeded_iters),
+            jax.random.split(k_f, 2),
+        )
+        # Rescue: a wrong velocity prior (first frame, motion
+        # discontinuity) starves PnP — re-track unseeded on the FULL
+        # pyramid.  lax.cond: the expensive branch runs only then.
+        tracked_pts, m, p = lax.cond(
+            p_s.n_inliers < fe.lk_rescue_min_inliers,
+            lambda: track_and_pnp(
+                carry.ref_pyr, cur_pyr, None, frontend._lk_params(fe),
+                jax.random.split(k_pnp, 2),
+            ),
+            lambda: (pts_s, m_s, p_s),
         )
     else:
-        res = lk.track(
-            carry.ref_pyr, cur_pyr, carry.track.pts2d, None,
-            frontend._lk_params(fe),
+        tracked_pts, m, p = track_and_pnp(
+            carry.ref_pyr, cur_pyr, None, frontend._lk_params(fe),
+            (k_f, k_pnp),
         )
-    m = carry.track.mask & res.valid
-    fres = ransac.fmat_ransac(
-        k_f, carry.track.pts2d, res.points, m,
-        thresh_px=fe.fmat_thresh_px, iters=fe.fmat_iters,
-    )
-    m = m & fres.inliers
     n_tracked = jnp.sum(m)
-
-    # --- PnP with the retry ladder folded into one solve (C7); the
-    # previous pose seeds a planar-safe GN hypothesis family (the P6P DLT
-    # degenerates on single-wall views) ---
-    T_prior = lie.inv_se3(carry.T_wc)
-    p = pnp.pnp_ransac(
-        k_pnp, cam, carry.track.pts3d, res.points, m,
-        thresh_px=pc.thresh_px, iters=pc.iters, refine_iters=pc.refine_iters,
-        T_init=T_prior, retry_thresh_px=pc.retry_thresh_px,
-        min_inliers=pc.min_inliers,
-    )
     need_retry = p.used_retry
     tracking_ok = p.n_inliers >= pc.min_inliers
     T_wc = jnp.where(tracking_ok, lie.inv_se3(p.T_cw), carry.T_wc)
@@ -333,7 +352,7 @@ def slam_frame_step(
     ba_rms = jnp.float32(0.0)
     if cfg.ba_enabled:
         ba_state, T_wc, track_cur, ba_rms = _ba_refine(
-            ba_state, track_cur, T_wc, res.points, p.inliers & m, cfg
+            ba_state, track_cur, T_wc, tracked_pts, p.inliers & m, cfg
         )
 
     # --- keyframe trigger + re-triangulation (C8) ---
@@ -371,7 +390,7 @@ def slam_frame_step(
 
     def continue_branch(_):
         return (
-            track_cur._replace(pts2d=res.points, mask=p.inliers & m),
+            track_cur._replace(pts2d=tracked_pts, mask=p.inliers & m),
             ba_state,
             carry.stereo_flow,
         )

@@ -66,6 +66,18 @@ def main():
             cfg.keyframes, min_pnp_inliers=cfg.keyframes.min_pnp_inliers // args.scale
         ),
     )
+    if cfg.loop.enabled:
+        # The reference's acceptance gates target 4,500-frame KITTI runs
+        # (query-match > 100, cooldown 100, skip 20 recent); scale them to
+        # the demo's sequence length so a short orbit can actually close.
+        cfg = cfg.replace(
+            loop=dataclasses.replace(
+                cfg.loop,
+                dislocal=min(cfg.loop.dislocal, max(4, args.frames // 8)),
+                min_separation=min(cfg.loop.min_separation, args.frames // 2),
+                cooldown=min(cfg.loop.cooldown, args.frames // 4),
+            )
+        )
 
     print(f"[run] rendering {world.n_frames} frames...")
     frames = [world.render(i)[:2] for i in range(world.n_frames)]
@@ -82,8 +94,11 @@ def main():
             v = np.asarray(f.valid)
             descs.append(np.asarray(f.desc_sign)[v])
             docs.append(np.full(int(v.sum()), i))
+        # 8^3 = 512 words: enough leaves that unrelated frames stop
+        # saturating the L1 scores (a 64-word tree scores everything ~0.8
+        # on the self-similar synthetic texture, drowning true revisits).
         vocab = vocab_mod.train(
-            np.concatenate(descs), k=4, levels=3, doc_ids=np.concatenate(docs)
+            np.concatenate(descs), k=8, levels=3, doc_ids=np.concatenate(docs)
         )
 
     slam = StereoSLAM(cfg, vocab=vocab)
