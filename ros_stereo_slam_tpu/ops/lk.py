@@ -47,6 +47,14 @@ class LKParams(NamedTuple):
     eps: float = 0.01
     # "auto": Pallas kernel on TPU, jnp reference elsewhere.
     backend: str = "auto"
+    # Element type for the Pallas kernel's one-hot selection matmuls
+    # ("bf16" | "f32").  The 0/1 selection weights are exact in either
+    # type, so bf16 only rounds the IMAGE samples — the same 2^-8 relative
+    # quantization as the uint8 frames OpenCV's LK consumes — while the
+    # MXU runs the select single-pass instead of the f32 3-pass: measured
+    # 2.59 -> 1.58 ms per 1152-point/10-iter level call on v5e (the jnp
+    # reference path is always f32; this knob only affects TPU).
+    select_dtype: str = "bf16"
     # Per-pixel min eigenvalue of the spatial gradient matrix, for images in
     # [0, 1] (OpenCV's 1e-4 default assumes 0-255 units; /255^2 ~= 1.5e-9,
     # we gate a bit harder to kill flat/aperture patches).

@@ -50,11 +50,19 @@ def _mix(patch: jnp.ndarray, fx, fy) -> jnp.ndarray:
     return top * (1.0 - fy) + bot * fy
 
 
-def _select_tile(img_ref, yf, xf, n: int, H: int, W: int):
+def _select_tile(img_ref, yf, xf, n: int, H: int, W: int,
+                 sel_dtype=jnp.bfloat16):
     """Sample an (n, n) tile whose top-left is at real (yf, xf).
 
     Returns (tile, fx, fy) where tile[r, c] = img[floor(yf)+r, floor(xf)+c]
     (clamped to the image) and fx/fy are the sub-pixel fractions.
+
+    `sel_dtype`: matmul element type for the one-hot column extraction.
+    The 0/1 weights are exact in bf16, so bf16 costs only the image
+    samples' rounding (~2^-8 relative — the uint8 quantization the
+    reference's OpenCV pipeline lives with anyway) and runs the MXU
+    single-pass instead of the f32 3-pass (measured 1.6x on the whole
+    kernel).
     """
     yi = jnp.clip(jnp.floor(yf), 0.0, H - (n + 1.0))
     xi = jnp.clip(jnp.floor(xf), 0.0, W - (n + 1.0))
@@ -78,8 +86,10 @@ def _select_tile(img_ref, yf, xf, n: int, H: int, W: int):
     # reductions), so the register-resident per-point form stays.
     k_col = jax.lax.broadcasted_iota(jnp.int32, (_LANES, 32), 0)
     c_col = jax.lax.broadcasted_iota(jnp.int32, (_LANES, 32), 1)
-    CS = (k_col == c_col + ix).astype(jnp.float32)  # (256, 32)
-    cols = jnp.dot(big, CS, preferred_element_type=jnp.float32)  # (40, 32)
+    CS = (k_col == c_col + ix).astype(sel_dtype)  # (256, 32)
+    cols = jnp.dot(big.astype(sel_dtype), CS,
+                   precision=jax.lax.Precision.DEFAULT,
+                   preferred_element_type=jnp.float32)  # (40, 32)
     D = pltpu.roll(cols, _ROWS - iy, axis=0)
     return D[: n + 1, : n + 1], fx, fy
 
@@ -88,7 +98,7 @@ def _lk_level_kernel(
     px_ref, py_ref, gx0_ref, gy0_ref, tmpl_ref, cur_ref,
     out_pts_ref, out_meta_ref,
     *, S: int, iters: int, walk_iters: int, eps: float, n_pts: int,
-    H: int, W: int,
+    H: int, W: int, sel_dtype=jnp.bfloat16,
 ):
     """Single-program kernel looping all points; meta = (min_eig, resid).
 
@@ -101,7 +111,9 @@ def _lk_level_kernel(
     inv_n = 1.0 / (S * S)
 
     def sample_cur(gx_pos, gy_pos):
-        Ct, cfx, cfy = _select_tile(cur_ref, gy_pos - half, gx_pos - half, S, H, W)
+        Ct, cfx, cfy = _select_tile(
+            cur_ref, gy_pos - half, gx_pos - half, S, H, W, sel_dtype
+        )
         return _mix(Ct, cfx, cfy)  # (S, S)
 
     def body(pb, _):
@@ -116,7 +128,8 @@ def _lk_level_kernel(
             # Template tile with a 1px gradient margin: (S+2, S+2) values
             # at (py - half - 1 + r, px - half - 1 + c).
             Tt, tfx, tfy = _select_tile(
-                tmpl_ref, py - half - 1.0, px - half - 1.0, S + 2, H, W
+                tmpl_ref, py - half - 1.0, px - half - 1.0, S + 2, H, W,
+                sel_dtype,
             )
             T = _mix(Tt, tfx, tfy)  # (S+2, S+2) subpixel neighborhood
             tmpl = T[1:-1, 1:-1]  # (S, S)
@@ -178,7 +191,8 @@ def _lk_level_kernel(
                 tbx = jnp.clip(
                     jnp.floor(gx_fin - half) - 1.0, 0.0, W - S - 3.0
                 )
-                Pt, _, _ = _select_tile(cur_ref, tby, tbx, S + 2, H, W)
+                Pt, _, _ = _select_tile(cur_ref, tby, tbx, S + 2, H, W,
+                                        sel_dtype)
                 anchors.append((tbx, tby))
                 ptiles.append(Pt)
 
@@ -273,6 +287,8 @@ def track_level(
             S=params.window, iters=params.iters,
             walk_iters=params.walk_iters, eps=params.eps,
             n_pts=n, H=H, W=W,
+            sel_dtype=(jnp.float32 if params.select_dtype == "f32"
+                       else jnp.bfloat16),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n, 2), jnp.float32),

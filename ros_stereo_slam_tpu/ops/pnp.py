@@ -176,6 +176,7 @@ def pnp_ransac(
     T_init: jnp.ndarray | None = None,
     retry_thresh_px: float | jnp.ndarray | None = None,
     min_inliers: int | jnp.ndarray = 0,
+    huber_px: float = 0.5,
 ) -> PnPResult:
     """RANSAC + GN PnP on (N, 3) world points vs (N, 2) observations.
 
@@ -228,14 +229,20 @@ def pnp_ransac(
         inl = jnp.where(starved, inl_r, inl)
     T0 = lie.make_se3(Rk[best], tk[best])
 
-    # GN polish on the best hypothesis' inliers (masked weights).
+    # GN polish on the best hypothesis' inliers (masked weights).  The
+    # Huber scale is TIGHTER than the inlier gate: a hard sub-threshold
+    # gate (e.g. 0.5 px) measurably cuts drift on well-textured scenes but
+    # starves RANSAC when per-point noise approaches the gate; the tight
+    # Huber downweights (1/r) instead of excluding, capturing most of that
+    # accuracy without the fragility.
     w = inl[best].astype(pts3d.dtype)
-    T = _gn_refine(cam, T0, pts3d, uv, w, refine_iters)
+    T = _gn_refine(cam, T0, pts3d, uv, w, refine_iters, huber_px=huber_px)
     # Re-score with the polished pose; expand the inlier set.
     final_err = _reproj_errors(cam, T[:3, :3], T[:3, 3], pts3d, uv)
     final_inl = (final_err < use_thresh) & mask
     # One more polish round on the expanded set, then final score.
-    T = _gn_refine(cam, T, pts3d, uv, final_inl.astype(pts3d.dtype), refine_iters)
+    T = _gn_refine(cam, T, pts3d, uv, final_inl.astype(pts3d.dtype),
+                   refine_iters, huber_px=huber_px)
     final_err = _reproj_errors(cam, T[:3, :3], T[:3, 3], pts3d, uv)
     final_inl = (final_err < use_thresh) & mask
     return PnPResult(

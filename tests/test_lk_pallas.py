@@ -25,7 +25,9 @@ def _setup(seed=0, n=64, shape=(192, 256)):
 
 def test_pallas_level_matches_jnp_reference():
     img, cur, pts = _setup()
-    params = lk.LKParams(window=21, iters=8)
+    # f32 selects: exact-oracle comparison (bf16 is the production default,
+    # covered by the tolerance test below).
+    params = lk.LKParams(window=21, iters=8, select_dtype="f32")
     g0 = jnp.asarray(pts)
     ref_g, ref_resid, ref_ok = lk._track_level(
         jnp.asarray(img), jnp.asarray(cur), jnp.asarray(pts), g0, params
@@ -41,6 +43,27 @@ def test_pallas_level_matches_jnp_reference():
     np.testing.assert_allclose(
         np.asarray(pal_resid), np.asarray(ref_resid), atol=1e-2,
     )
+
+
+def test_pallas_bf16_select_close_to_f32():
+    """The bf16 one-hot select (production default) only rounds the image
+    samples (~2^-8 relative, the uint8 quantization scale); tracked flow
+    must agree with the f32 kernel to well under a tenth of a pixel."""
+    img, cur, pts = _setup(seed=2)
+    g0 = jnp.asarray(pts)
+    outs = {}
+    for sd in ("f32", "bf16"):
+        params = lk.LKParams(window=21, iters=8, select_dtype=sd)
+        g, resid, ok = lk_pallas.track_level(
+            jnp.asarray(img), jnp.asarray(cur), jnp.asarray(pts), g0, params,
+            interpret=True,
+        )
+        outs[sd] = (np.asarray(g), np.asarray(ok))
+    both = outs["f32"][1] & outs["bf16"][1]
+    assert both.sum() > len(pts) * 0.8
+    diff = np.abs(outs["f32"][0][both] - outs["bf16"][0][both])
+    assert np.median(diff) < 0.02
+    assert np.percentile(diff, 95) < 0.1
 
 
 def test_pallas_level_tracks_translation():

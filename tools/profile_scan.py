@@ -57,10 +57,12 @@ def pn(**kw):
 base = fps_of(cfg0, "baseline")
 variants = [
     (fe(lk_seed="none"), "seeding off (4-level coarse-to-fine)"),
-    (fe(lk_iters=6), "lk_iters 10 -> 6"),
-    (fe(lk_seeded_levels=1), "seeded levels 2 -> 1"),
+    (fe(lk_seeded_iters=6), "seeded iters 10 -> 6"),
+    (fe(lk_stereo_seeded_levels=1), "stereo seeded levels 2 -> 1"),
+    (fe(lk_stereo_iters=4), "stereo iters 6 -> 4"),
     (fe(lk_window=15), "lk_window 21 -> 15"),
     (fe(fmat_iters=128), "fmat_iters 256 -> 128"),
+    (fe(grid_step=30, max_points=512), "grid 20/1152 -> 30/512"),
     (pn(iters=cfg0.pnp.iters // 2), f"pnp iters {cfg0.pnp.iters} -> half"),
     (pn(refine_iters=max(1, cfg0.pnp.refine_iters // 2)),
      f"pnp refine {cfg0.pnp.refine_iters} -> half"),
