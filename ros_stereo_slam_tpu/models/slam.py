@@ -109,9 +109,15 @@ class StereoSLAM:
         cfg = self.config
         feats = self._last_feats
         cam = step_mod._cam_of(cfg)
-        left_pyr = self._carry.ref_pyr  # pyramid of the current left image
         import ros_stereo_slam_tpu.ops.pyramid as pyr_mod
 
+        # The carry keeps only the seeded path's pyramid depth (lazy
+        # coarse levels); this unseeded stereo match needs the full one.
+        left_pyr = self._carry.ref_pyr  # pyramid of the current left image
+        if len(left_pyr) < cfg.frontend.lk_levels:
+            left_pyr = tuple(
+                pyr_mod.build_pyramid(left_pyr[0], cfg.frontend.lk_levels)
+            )
         right_pyr = tuple(
             pyr_mod.build_pyramid(right_dev, cfg.frontend.lk_levels)
         )
@@ -209,9 +215,13 @@ class StereoSLAM:
             self.trajectory_dev = new_poses
             # 4) rebuild the live feature set at the optimized pose
             #    (reference forces a keyframe on LC, :120-146)
-            left_pyr = self._carry.ref_pyr
             import ros_stereo_slam_tpu.ops.pyramid as pyr_mod
 
+            left_pyr = self._carry.ref_pyr
+            if len(left_pyr) < cfg.frontend.lk_levels:
+                left_pyr = tuple(
+                    pyr_mod.build_pyramid(left_pyr[0], cfg.frontend.lk_levels)
+                )
             right_pyr = tuple(
                 pyr_mod.build_pyramid(right_dev, cfg.frontend.lk_levels)
             )

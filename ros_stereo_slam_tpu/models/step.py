@@ -101,6 +101,21 @@ class SlamCarry(NamedTuple):
     stereo_flow: jnp.ndarray | None = None  # (N, 2)
 
 
+def _happy_levels(fe) -> int:
+    """Pyramid depth the seeded steady-state path actually touches.
+
+    The seeded temporal track uses `lk_seeded_levels`; the seeded stereo
+    rematch uses `lk_stereo_seeded_levels`.  Configurations whose keyframe
+    branch runs unseeded (ANMS sampler / ORB stereo — no static-grid
+    disparity prior) still need the full pyramid every frame.
+    """
+    if fe.sampler == "grid" and fe.stereo_matcher == "lk":
+        return min(
+            max(fe.lk_seeded_levels, fe.lk_stereo_seeded_levels), fe.lk_levels
+        )
+    return fe.lk_levels
+
+
 def _cam_of(cfg: PipelineConfig) -> Pinhole:
     c = cfg.camera
     return Pinhole(
@@ -276,7 +291,16 @@ def slam_frame_step(
     cam = _cam_of(cfg)
     key, k_f, k_pnp, k_retry, k_kf = jax.random.split(carry.key, 5)
 
-    cur_pyr = tuple(pyramid.build_pyramid(left_img, fe.lk_levels))
+    seeded = fe.lk_seed == "const_velocity" and carry.dT is not None
+    # Lazy pyramid: on the seeded happy path only the finest
+    # `_happy_levels` are ever touched (seeded temporal track + seeded
+    # stereo rematch); the coarse levels exist solely for the rescue
+    # re-track and are built INSIDE its lax.cond branch — frames that
+    # never rescue never pay for them.
+    cur_pyr = tuple(
+        pyramid.build_pyramid(left_img, _happy_levels(fe) if seeded
+                              else fe.lk_levels)
+    )
 
     # --- temporal tracking + F-gate + PnP (C4 + C5 + C7) ---
     T_prior = lie.inv_se3(carry.T_wc)
@@ -327,13 +351,21 @@ def slam_frame_step(
         )
         # Rescue: a wrong velocity prior (first frame, motion
         # discontinuity) starves PnP — re-track unseeded on the FULL
-        # pyramid.  lax.cond: the expensive branch runs only then.
+        # pyramid.  lax.cond: the expensive branch (including the coarse
+        # pyramid builds for both frames) runs only then.
+        def rescue():
+            ref_full = tuple(
+                pyramid.build_pyramid(carry.ref_pyr[0], fe.lk_levels)
+            )
+            cur_full = tuple(pyramid.build_pyramid(left_img, fe.lk_levels))
+            return track_and_pnp(
+                ref_full, cur_full, None, frontend._lk_params(fe),
+                jax.random.split(k_pnp, 2),
+            )
+
         tracked_pts, m, p = lax.cond(
             p_s.n_inliers < fe.lk_rescue_min_inliers,
-            lambda: track_and_pnp(
-                carry.ref_pyr, cur_pyr, None, frontend._lk_params(fe),
-                jax.random.split(k_pnp, 2),
-            ),
+            rescue,
             lambda: (pts_s, m_s, p_s),
         )
     else:
@@ -461,8 +493,14 @@ def init_carry(
     stereo_flow = jnp.where(
         track.mask[:, None], r_uv - track.pts2d, jnp.zeros_like(r_uv)
     )
+    # Carry only the pyramid depth the steady-state (seeded) path touches;
+    # the rescue branch rebuilds coarse levels from level 0 on demand.
+    ref_keep = (
+        left_pyr[: _happy_levels(fe)]
+        if fe.lk_seed == "const_velocity" else left_pyr
+    )
     return SlamCarry(
-        track=track, T_wc=T0, keyframes=kf, ref_pyr=left_pyr,
+        track=track, T_wc=T0, keyframes=kf, ref_pyr=ref_keep,
         key=key, frame_idx=jnp.int32(1), ba=ba,
         dT=jnp.eye(4, dtype=jnp.float32),
         stereo_flow=stereo_flow,
