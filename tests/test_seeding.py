@@ -100,3 +100,50 @@ def test_carry_priors_updated(seq):
     dT = np.asarray(carry2.dT)
     gt_dT = np.linalg.inv(world.poses[0]) @ world.poses[1]
     assert np.linalg.norm(dT[:3, 3] - gt_dT[:3, 3]) < 0.05
+
+
+def test_lazy_pyramid_carry_depth(seq):
+    """Seeded configs carry only the happy-path pyramid depth; the coarse
+    levels are rebuilt inside the rescue branch (models/step.py).  Config
+    flavors whose keyframe branch runs unseeded (ANMS sampler, ORB stereo)
+    must keep the full pyramid."""
+    world, L, R = seq
+    from ros_stereo_slam_tpu.models.pipeline import _grid_for
+
+    cfg = _cfg(world)
+    fe = cfg.frontend
+    assert step_mod._happy_levels(fe) == max(
+        fe.lk_seeded_levels, fe.lk_stereo_seeded_levels
+    )
+    grid_pts, grid_mask = _grid_for(cfg)
+    carry = step_mod.init_carry(
+        L[0], R[0], grid_pts, grid_mask, jax.random.PRNGKey(0), cfg
+    )
+    assert len(carry.ref_pyr) == step_mod._happy_levels(fe)
+    carry2, _ = step_mod.slam_frame_step(
+        carry, L[1], R[1], grid_pts, grid_mask, cfg
+    )
+    assert len(carry2.ref_pyr) == step_mod._happy_levels(fe)
+    # unseeded-keyframe flavors need the full pyramid every frame
+    for kw in (dict(sampler="anms"), dict(stereo_matcher="orb")):
+        fe_v = FrontendConfig(grid_step=12, max_points=1024, **kw)
+        assert step_mod._happy_levels(fe_v) == fe_v.lk_levels
+    # lk_seed="none" carries the full pyramid
+    cfg_u = _cfg(world, lk_seed="none")
+    carry_u = step_mod.init_carry(
+        L[0], R[0], grid_pts, grid_mask, jax.random.PRNGKey(0), cfg_u
+    )
+    assert len(carry_u.ref_pyr) == cfg_u.frontend.lk_levels
+
+
+def test_rescue_recovers_from_bad_prior(seq):
+    """A LARGE motion discontinuity (frame sequence jumps backward by two
+    frames) starves the single-level seeded track; the rescue branch's
+    full-pyramid re-track must keep PnP alive."""
+    world, L, R = seq
+    Ls = jnp.concatenate([L[:6], L[3:4]], axis=0)
+    Rs = jnp.concatenate([R[:6], R[3:4]], axis=0)
+    res = run_offline(_cfg(world), Ls, Rs)
+    assert bool(res.tracking_ok.all())
+    d = np.linalg.norm(res.trajectory[-1][:3, 3] - res.trajectory[3][:3, 3])
+    assert d < 0.10, f"rescue failed to relocalize: {d:.3f} m"
