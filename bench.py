@@ -47,6 +47,11 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3,
                     help="timed repetitions; best is reported (the dev "
                     "TPU tunnel adds ±20%% run-to-run noise)")
+    ap.add_argument("--preset", choices=["odometry", "loop_closure"],
+                    default="odometry",
+                    help="loop_closure adds per-frame on-device ORB + BoW "
+                    "database scoring inside the scan (config 3) plus the "
+                    "host gate/PGO epilogue to the timed region")
     args = ap.parse_args()
 
     import jax
@@ -80,6 +85,69 @@ def main() -> None:
     cfg = preset_odometry().replace(camera=cam)
     platform = jax.devices()[0].platform
     print(f"[bench] mode={args.mode} platform={platform}", file=sys.stderr)
+
+    if args.preset == "loop_closure":
+        # Config 3: odometry + on-device loop detection in the SAME scan +
+        # host gate/PGO epilogue (models/slam_scan.py).  The corridor has
+        # no revisits, so this measures full-SLAM detection overhead.
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from ros_stereo_slam_tpu.config import (
+            LoopClosureConfig, preset_loop_closure,
+        )
+        from ros_stereo_slam_tpu.models import vocab as vocab_mod
+        from ros_stereo_slam_tpu.models.slam_scan import run_offline_slam
+        from ros_stereo_slam_tpu.ops import orb
+
+        cap = 1 << (n_total - 1).bit_length()
+        cfg = preset_loop_closure().replace(
+            camera=cam,
+            loop=dataclasses.replace(
+                LoopClosureConfig(), db_capacity=max(cap, 512)
+            ),
+        )
+        print("[bench] training vocabulary (untimed offline step)...",
+              file=sys.stderr)
+        descs = []
+        for i in range(0, n_total, 8):
+            f = orb.detect_and_compute(
+                jnp.asarray(left_seq[i]), cfg.loop.orb_features
+            )
+            v = np.asarray(f.valid)
+            descs.append(np.asarray(f.desc_sign)[v])
+        voc = vocab_mod.train(np.concatenate(descs), k=9, levels=3)
+        # Pre-stage frames in HBM (same rule as the odometry mode: the
+        # timed region measures compute, not the dev-tunnel PCIe stand-in).
+        left_dev = jax.device_put(jnp.asarray(left_seq, jnp.float32))
+        right_dev = jax.device_put(jnp.asarray(right_seq, jnp.float32))
+        jax.block_until_ready((left_dev, right_dev))
+        print("[bench] compile + first run...", file=sys.stderr)
+        res = run_offline_slam(cfg, voc, left_dev, right_dev)
+        print("[bench] timed runs...", file=sys.stderr)
+        dt = float("inf")
+        for _ in range(max(args.reps, 1)):
+            t0 = time.perf_counter()
+            res = run_offline_slam(cfg, voc, left_dev, right_dev)
+            dt = min(dt, time.perf_counter() - t0)
+        fps = args.frames / dt
+        ate = metrics.ate_rmse(
+            res.trajectory, world.poses[: res.trajectory.shape[0]]
+        )
+        print(json.dumps({
+            "metric": "slam_frames_per_sec_per_chip",
+            "value": round(fps, 2),
+            "unit": "frames/s",
+            "vs_baseline": round(fps / REFERENCE_CPU_FPS, 2),
+            "ate_rmse_m": round(float(ate), 4),
+            "loop_events": len(res.loop_events),
+            "frames": args.frames,
+            "mode": "scan+epilogue",
+            "preset": "loop_closure",
+            "platform": platform,
+        }))
+        return
 
     if args.mode == "scan":
         import jax.numpy as jnp

@@ -96,6 +96,83 @@ def _geom_match(
     return res.n_inliers, best, good & res.inliers
 
 
+def group_islands(ids: np.ndarray, scores: np.ndarray):
+    """Group candidate entries into islands of near-consecutive ids.
+
+    Mirrors computeIslands (TemplatedLoopDetector.h:875-949): entries
+    sorted by id, split when the id gap exceeds 3; island score = sum;
+    representative = argmax entry.  Returns a list of
+    ``[sum_score, best_id, best_score, lo, hi]``.
+    """
+    order = np.argsort(ids)
+    islands = []
+    cur = None
+    for i in order:
+        if ids[i] < 0:
+            continue
+        if cur is not None and ids[i] - cur[4] <= 3:
+            cur[0] += scores[i]
+            cur[4] = ids[i]
+            if scores[i] > cur[2]:
+                cur[1], cur[2] = ids[i], scores[i]
+        else:
+            if cur is not None:
+                islands.append(cur)
+            cur = [scores[i], ids[i], scores[i], ids[i], ids[i]]
+    if cur is not None:
+        islands.append(cur)
+    return islands
+
+
+class CandidateGater:
+    """The nss / alpha / island / temporal-window gate chain, shared by the
+    streaming detector and the scan-mode epilogue (identical semantics:
+    TemplatedLoopDetector.h:733-772)."""
+
+    def __init__(self, config: LoopClosureConfig):
+        self.config = config
+        self._window: list[tuple[int, int, int]] = []  # (query, isl_lo, isl_hi)
+
+    def gate(self, frame_id: int, ids: np.ndarray, scores: np.ndarray,
+             ns: float):
+        """Per-frame gates over the top-K db results.
+
+        Returns (best_id, best_score, consistent) for a candidate that
+        passed nss + alpha + islands + temporal consistency, else None.
+        MUST be called for every frame in order (it threads the temporal
+        window state).
+        """
+        cfg = self.config
+        if not (ns >= cfg.min_nss and scores.size and scores[0] > 0):
+            self._window.append((frame_id, -10, -10))
+            self._window = self._window[-8:]
+            return None
+        nss = scores / max(ns, 1e-6)
+        keep = (nss >= cfg.alpha) & (scores > -1e8)
+        islands = group_islands(ids[keep], nss[keep])
+        if not islands:
+            self._window.append((frame_id, -10, -10))
+            self._window = self._window[-8:]
+            return None
+        best = max(islands, key=lambda g: g[0])
+        _, best_id, best_score, lo, hi = best
+        consistent = 0
+        for (q, plo, phi) in reversed(self._window):
+            if frame_id - q > 3:
+                break
+            if lo <= phi + 3 and hi >= plo - 3:
+                consistent += 1
+                lo = min(lo, plo)
+                hi = max(hi, phi)
+            else:
+                break
+        self._window.append((frame_id, best[3], best[4]))
+        self._window = self._window[-8:]
+        if consistent >= cfg.k_consistency:
+            return int(best_id), float(best_score), consistent
+        return None
+
+
 @dataclass
 class LoopDetector:
     """Streaming detector over a fixed-capacity device database."""
@@ -122,7 +199,7 @@ class LoopDetector:
         self.db_ids = jnp.full((cap,), -1, jnp.int32)
         self._idf = jnp.asarray(self.vocab.idf)
         self._last_bow = None
-        self._window: list[tuple[int, int, int]] = []  # (query, isl_lo, isl_hi)
+        self._gater = CandidateGater(self.config)
         self._key = jax.random.PRNGKey(77)
 
     # -- internals ---------------------------------------------------------
@@ -130,32 +207,6 @@ class LoopDetector:
     def _bow_of(self, feats: orb_mod.OrbFeatures) -> jnp.ndarray:
         words = vocab_mod.transform_words(self.vocab, feats.desc_sign)
         return vocab_mod.bow_row(words, feats.valid, self._idf, self.vocab.n_words)
-
-    def _islands(self, ids: np.ndarray, scores: np.ndarray):
-        """Group candidate entries into islands of near-consecutive ids.
-
-        Mirrors computeIslands (TemplatedLoopDetector.h:875-949): entries
-        sorted by id, split when the id gap exceeds 3; island score = sum;
-        representative = argmax entry.
-        """
-        order = np.argsort(ids)
-        islands = []  # (sum_score, best_id, best_score, lo, hi)
-        cur = None
-        for i in order:
-            if ids[i] < 0:
-                continue
-            if cur is not None and ids[i] - cur[4] <= 3:
-                cur[0] += scores[i]
-                cur[4] = ids[i]
-                if scores[i] > cur[2]:
-                    cur[1], cur[2] = ids[i], scores[i]
-            else:
-                if cur is not None:
-                    islands.append(cur)
-                cur = [scores[i], ids[i], scores[i], ids[i], ids[i]]
-        if cur is not None:
-            islands.append(cur)
-        return islands
 
     # -- public API --------------------------------------------------------
 
@@ -185,54 +236,29 @@ class LoopDetector:
             )
             ids = np.asarray(ids_d)
             scores = np.asarray(scores_d)
-            if ns >= cfg.min_nss and scores.size and scores[0] > 0:
-                # normalized scores + removeLowScores(alpha) — ABSOLUTE
-                # cutoff on the nss-normalized score, as the reference
-                # (TemplatedLoopDetector.h:744-748 scales by 1/ns then
-                # removes entries below alpha; alpha=0.9 in use)
-                nss = scores / max(ns, 1e-6)
-                keep = nss >= cfg.alpha
-                keep &= scores > -1e8
-                islands = self._islands(ids[keep], nss[keep])
-                if islands:
-                    best = max(islands, key=lambda g: g[0])
-                    _, best_id, best_score, lo, hi = best
-                    # temporal consistency: previous queries matched nearby
-                    # islands (window overlap within +-3 ids, k consecutive).
-                    consistent = 0
-                    for (q, plo, phi) in reversed(self._window):
-                        if frame_id - q > 3:
-                            break
-                        if lo <= phi + 3 and hi >= plo - 3:
-                            consistent += 1
-                            lo = min(lo, plo)
-                            hi = max(hi, phi)
-                        else:
-                            break
-                    self._window.append((frame_id, best[3], best[4]))
-                    if consistent >= cfg.k_consistency:
-                        slot = best_id % cfg.db_capacity
-                        self._key, k = jax.random.split(self._key)
-                        n_inl_d, best_d, inl_d = _geom_match(
-                            feats.desc_sign, feats.pts, feats.valid,
-                            self.db_sign[slot], self.db_pts[slot],
-                            self.db_pt_valid[slot],
-                            k, jnp.float32(cfg.geom_thresh_px),
-                            jnp.float32(cfg.neigh_ratio),
-                        )
-                        n_inl = int(n_inl_d)
-                        if n_inl >= cfg.geom_min_points:
-                            result = LoopCandidate(
-                                query=frame_id, match=int(best_id),
-                                score=float(best_score), n_inliers=n_inl,
-                                consistent=consistent,
-                                match_idx=np.asarray(best_d),
-                                match_inliers=np.asarray(inl_d),
-                            )
-                else:
-                    self._window.append((frame_id, -10, -10))
-            else:
-                self._window.append((frame_id, -10, -10))
-            self._window = self._window[-8:]
+            # nss / alpha (removeLowScores, ABSOLUTE cutoff on the
+            # nss-normalized score, TemplatedLoopDetector.h:744-748;
+            # alpha=0.9 in use) / islands / temporal window.
+            gated = self._gater.gate(frame_id, ids, scores, ns)
+            if gated is not None:
+                best_id, best_score, consistent = gated
+                slot = best_id % cfg.db_capacity
+                self._key, k = jax.random.split(self._key)
+                n_inl_d, best_d, inl_d = _geom_match(
+                    feats.desc_sign, feats.pts, feats.valid,
+                    self.db_sign[slot], self.db_pts[slot],
+                    self.db_pt_valid[slot],
+                    k, jnp.float32(cfg.geom_thresh_px),
+                    jnp.float32(cfg.neigh_ratio),
+                )
+                n_inl = int(n_inl_d)
+                if n_inl >= cfg.geom_min_points:
+                    result = LoopCandidate(
+                        query=frame_id, match=best_id,
+                        score=best_score, n_inliers=n_inl,
+                        consistent=consistent,
+                        match_idx=np.asarray(best_d),
+                        match_inliers=np.asarray(inl_d),
+                    )
         self.add(frame_id, feats, bow)
         return result

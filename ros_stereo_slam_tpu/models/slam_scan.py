@@ -1,0 +1,355 @@
+"""Scan-mode full SLAM (config 3): loop-closure detection inside the scan.
+
+The reference's frame loop runs ORB + DBoW2 transform + database query on
+the host EVERY frame (``/root/reference/src/optimizationStuff.cpp:49-65``)
+and blocks on g2o whenever a closure fires
+(``src/VisualSLAM.cpp:76-86``).  TPU-native rewrite:
+
+- **Detection is device work inside the scan.**  ORB (C9), the vocabulary
+  descent, the masked L1 database scoring and the top-K candidate
+  extraction are all fixed-shape, so they fold into the same ``lax.scan``
+  step as odometry — a whole SLAM sequence stays ONE XLA dispatch.  The
+  BoW database lives in the scan carry (fixed capacity, reference
+  allocates 4000: ``include/visualSLAM.h:137``).
+- **The data-dependent tail is a post-scan epilogue.**  Island grouping,
+  the temporal-consistency window, the driver accept rule
+  (query − match > 100, cooldown 100: ``optimizationStuff.cpp:59-63``)
+  replay the streaming gates via :class:`loop_closure.CandidateGater`
+  (identical semantics); geometric verification batches over the few
+  surviving candidates; ONE pose-graph optimization solves the full chain
+  with all loop edges.  Deferred PGO is equivalent to the reference's
+  per-closure re-optimize for an offline/mapping run — each of its
+  closures re-optimizes and rewrites the ENTIRE trajectory anyway
+  (``optimizationStuff.cpp:17-47``), so only the last solve survives.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ros_stereo_slam_tpu.config import PipelineConfig
+from ros_stereo_slam_tpu.models import loop_closure as lc_mod
+from ros_stereo_slam_tpu.models import pose_graph as pg_mod
+from ros_stereo_slam_tpu.models import step as step_mod
+from ros_stereo_slam_tpu.models import vocab as vocab_mod
+from ros_stereo_slam_tpu.ops import lk, orb as orb_mod, pnp, pyramid, triangulate
+from ros_stereo_slam_tpu.utils import lie
+
+
+class LCScanState(NamedTuple):
+    """Device-resident BoW database threaded through the scan carry."""
+
+    db_bow: jnp.ndarray  # (cap, n_words) f32
+    db_sign: jnp.ndarray  # (cap, nf, 256) f32 sign descriptors
+    db_pts: jnp.ndarray  # (cap, nf, 2) f32
+    db_pt_valid: jnp.ndarray  # (cap, nf) bool
+    db_valid: jnp.ndarray  # (cap,) bool
+    db_ids: jnp.ndarray  # (cap,) i32
+    last_bow: jnp.ndarray  # (n_words,) f32 — previous frame's BoW (nss ref)
+    have_last: jnp.ndarray  # () bool
+
+
+class LCScanStats(NamedTuple):
+    """Per-frame candidate shortlist emitted by the scan (host gates run
+    on these after the dispatch)."""
+
+    top_ids: jnp.ndarray  # (K,) i32 db frame ids (-1 padding)
+    top_scores: jnp.ndarray  # (K,) f32 raw L1 scores
+    ns: jnp.ndarray  # () f32 normalizing score vs previous frame
+
+
+def init_lc_state(cfg: PipelineConfig, n_words: int) -> LCScanState:
+    cap = cfg.loop.db_capacity
+    nf = cfg.loop.orb_features
+    return LCScanState(
+        db_bow=jnp.zeros((cap, n_words), jnp.float32),
+        db_sign=jnp.zeros((cap, nf, orb_mod.N_BITS), jnp.float32),
+        db_pts=jnp.zeros((cap, nf, 2), jnp.float32),
+        db_pt_valid=jnp.zeros((cap, nf), bool),
+        db_valid=jnp.zeros((cap,), bool),
+        db_ids=jnp.full((cap,), -1, jnp.int32),
+        last_bow=jnp.zeros((n_words,), jnp.float32),
+        have_last=jnp.zeros((), bool),
+    )
+
+
+def _lc_scan_step(
+    lc: LCScanState,
+    left_img: jnp.ndarray,
+    frame_id: jnp.ndarray,
+    centers: tuple,
+    idf: jnp.ndarray,
+    cfg: PipelineConfig,
+    vocab_k: int,
+) -> tuple[LCScanState, LCScanStats]:
+    """One frame of on-device detection: ORB -> BoW -> query -> add."""
+    lcc = cfg.loop
+    n_words = idf.shape[0]
+    feats = orb_mod.detect_and_compute(
+        left_img, lcc.orb_features, cfg.frontend.fast_thresh / 255.0
+    )
+    words = vocab_mod._descend(
+        list(centers), feats.desc_sign, vocab_k, len(centers)
+    )
+    bow = vocab_mod.bow_row(words, feats.valid, idf, n_words)
+
+    ns = vocab_mod.score_l1(bow, lc.last_bow[None, :])[0]
+    # db query masked to entries dated <= frame_id - dislocal - 1
+    s = vocab_mod.score_l1(bow, lc.db_bow)
+    ok = lc.db_valid & (lc.db_ids <= frame_id - lcc.dislocal - 1)
+    s = jnp.where(ok, s, -1e9)
+    top_scores, top_idx = lax.top_k(s, lcc.max_db_results)
+    top_ids = jnp.where(top_scores > -1e8, lc.db_ids[top_idx], -1)
+
+    slot = frame_id % lcc.db_capacity
+    lc = lc._replace(
+        db_bow=lc.db_bow.at[slot].set(bow),
+        db_sign=lc.db_sign.at[slot].set(feats.desc_sign),
+        db_pts=lc.db_pts.at[slot].set(feats.pts),
+        db_pt_valid=lc.db_pt_valid.at[slot].set(feats.valid),
+        db_valid=lc.db_valid.at[slot].set(True),
+        db_ids=lc.db_ids.at[slot].set(frame_id),
+        last_bow=bow,
+        have_last=jnp.ones((), bool),
+    )
+    stats = LCScanStats(
+        top_ids=top_ids,
+        top_scores=top_scores,
+        ns=jnp.where(lc.have_last, ns, jnp.float32(-1.0)),
+    )
+    return lc, stats
+
+
+# Module-level jit wrapper (a fresh jax.jit(...) object per call would
+# retrace AND recompile the frame-0 step on every run — ~35 s each on TPU).
+_lc_scan_step_jit = partial(
+    jax.jit, static_argnames=("cfg", "vocab_k")
+)(_lc_scan_step)
+
+
+@partial(jax.jit, static_argnames=("cfg", "vocab_k"))
+def run_sequence_slam(
+    left_seq: jnp.ndarray,
+    right_seq: jnp.ndarray,
+    carry: step_mod.SlamCarry,
+    lc: LCScanState,
+    grid_pts: jnp.ndarray,
+    grid_mask: jnp.ndarray,
+    centers: tuple,
+    idf: jnp.ndarray,
+    cfg: PipelineConfig,
+    vocab_k: int,
+):
+    """Odometry + on-device loop detection for a whole sequence: ONE scan."""
+
+    def body(c, xs):
+        sc, lcs = c
+        left, right, fid = xs
+        sc, fstats = step_mod.slam_frame_step(
+            sc, left, right, grid_pts, grid_mask, cfg
+        )
+        # Note ordering quirk vs the scan stats: frame ids here are the
+        # 1-based positions of left_seq rows (frame 0 is the bootstrap).
+        lcs, lstats = _lc_scan_step(lcs, left, fid, centers, idf, cfg,
+                                    vocab_k)
+        return (sc, lcs), (fstats, lstats)
+
+    fids = jnp.arange(1, left_seq.shape[0] + 1, dtype=jnp.int32)
+    return lax.scan(body, (carry, lc), (left_seq, right_seq, fids))
+
+
+@dataclass
+class ScanSlamResult:
+    trajectory: np.ndarray  # (F, 4, 4) post-PGO world-from-cam
+    trajectory_odo: np.ndarray  # (F, 4, 4) raw odometry chain
+    loop_events: list  # [(query, match, n_inliers)]
+    n_inliers: np.ndarray
+    is_keyframe: np.ndarray
+    tracking_ok: np.ndarray
+    keyframes: object
+
+
+def _measure_edges_pnp(
+    lc_arrays, cands, geom, left_seq, right_seq, cfg: PipelineConfig, key
+):
+    """PnP-measured loop edges Z = T_q^-1 T_match for accepted candidates
+    (the reference's unbuilt ``getLCMeasurement``, ``dump.cpp:331-348``).
+
+    The query frame's ORB features are stereo-triangulated from its
+    image pair; the geometric check's correspondences give their 2D
+    observations in the matched frame; PnP solves the match camera pose
+    in the query frame.  Falls back to identity (reference semantics,
+    ``poseGraph.h:118``) when PnP starves.
+    """
+    db_sign, db_pts, db_pt_valid = lc_arrays
+    cam = step_mod._cam_of(cfg)
+    cap = cfg.loop.db_capacity
+    n_inl, best_idx, inl_mask = geom
+    out = []
+    from ros_stereo_slam_tpu.models import frontend as fe_mod
+
+    for ci, (q, m) in enumerate(cands):
+        lq = jnp.asarray(left_seq[q], jnp.float32)
+        rq = jnp.asarray(right_seq[q], jnp.float32)
+        lp = tuple(pyramid.build_pyramid(lq, cfg.frontend.lk_levels))
+        rp = tuple(pyramid.build_pyramid(rq, cfg.frontend.lk_levels))
+        qs = q % cap
+        pts_q = db_pts[qs]
+        st = lk.track(lp, rp, pts_q, None, fe_mod._lk_params(cfg.frontend))
+        tri = triangulate.triangulate_rectified(
+            cam, jnp.float32(cfg.camera.baseline), pts_q, st.points,
+            db_pt_valid[qs] & st.valid, max_depth=cfg.keyframes.max_depth,
+        )
+        uv_m = db_pts[m % cap][best_idx[ci]]
+        mask = inl_mask[ci] & tri.valid
+        key, k = jax.random.split(key)
+        res = pnp.pnp_ransac(
+            k, cam, tri.points, uv_m, mask,
+            thresh_px=cfg.loop.geom_thresh_px, iters=128,
+            refine_iters=cfg.pnp.refine_iters,
+            T_init=jnp.eye(4, dtype=jnp.float32),
+        )
+        if int(res.n_inliers) >= cfg.loop.geom_min_points:
+            out.append(np.asarray(lie.inv_se3(res.T_cw)))
+        else:
+            out.append(None)
+    return out
+
+
+def run_offline_slam(
+    cfg: PipelineConfig,
+    vocab: vocab_mod.Vocabulary,
+    left_seq,
+    right_seq,
+) -> ScanSlamResult:
+    """Full SLAM over a sequence: one scan dispatch + host epilogue."""
+    from ros_stereo_slam_tpu.models.pipeline import _grid_for
+
+    grid_pts, grid_mask = _grid_for(cfg)
+    l0 = jnp.asarray(left_seq[0], jnp.float32)
+    r0 = jnp.asarray(right_seq[0], jnp.float32)
+    carry = step_mod.init_carry(
+        l0, r0, grid_pts, grid_mask, jax.random.PRNGKey(cfg.seed), cfg
+    )
+    lc0 = init_lc_state(cfg, vocab.n_words)
+    # frame 0 enters the database too (the reference adds every frame)
+    lc0, _ = _lc_scan_step_jit(
+        lc0, l0, jnp.int32(0), tuple(vocab.centers),
+        jnp.asarray(vocab.idf), cfg, vocab.k,
+    )
+
+    ls = jnp.asarray(left_seq[1:], jnp.float32)
+    rs = jnp.asarray(right_seq[1:], jnp.float32)
+    (carry, lc), (fstats, lstats) = run_sequence_slam(
+        ls, rs, carry, lc0, grid_pts, grid_mask,
+        tuple(vocab.centers), jnp.asarray(vocab.idf), cfg, vocab.k,
+    )
+    jax.block_until_ready(fstats.T_wc)
+
+    traj_odo = np.concatenate(
+        [np.eye(4, dtype=np.float32)[None], np.asarray(fstats.T_wc)], axis=0
+    )
+
+    # ---- epilogue: gates -> geometric check -> accept -> PGO ----
+    # Ordering matters and mirrors the streaming driver exactly
+    # (slam.py::_detect_loop): the geometric check runs BEFORE the
+    # cooldown is armed — a gate candidate that fails geometry must NOT
+    # suppress detection on the following frames.
+    lcc = cfg.loop
+    top_ids = np.asarray(lstats.top_ids)
+    top_scores = np.asarray(lstats.top_scores)
+    ns_arr = np.asarray(lstats.ns)
+    gater = lc_mod.CandidateGater(lcc)
+    lc_arrays = (lc.db_sign, lc.db_pts, lc.db_pt_valid)
+    key = jax.random.PRNGKey(cfg.seed + 7)
+    cap = lcc.db_capacity
+    cooldown = 0
+    loop_events = []
+    loop_edges = []  # (i, j, Z)
+    accepted = []  # (q, m, best_idx, inl_mask, n_inl)
+    for i in range(top_ids.shape[0]):
+        fid = i + 1
+        if fid <= lcc.dislocal:
+            continue
+        gated = gater.gate(fid, top_ids[i], top_scores[i], float(ns_arr[i]))
+        if cooldown > 0:
+            cooldown -= 1
+            continue
+        if gated is None:
+            continue
+        best_id, _, _ = gated
+        # geometric verification (same op the streaming detector runs;
+        # rare, so a per-candidate device call is fine here)
+        key, k = jax.random.split(key)
+        n_inl_d, bi_d, im_d = lc_mod._geom_match(
+            lc.db_sign[fid % cap], lc.db_pts[fid % cap],
+            lc.db_pt_valid[fid % cap],
+            lc.db_sign[best_id % cap], lc.db_pts[best_id % cap],
+            lc.db_pt_valid[best_id % cap],
+            k, jnp.float32(lcc.geom_thresh_px), jnp.float32(lcc.neigh_ratio),
+        )
+        n_inl = int(n_inl_d)
+        if n_inl < lcc.geom_min_points:
+            continue
+        # driver accept rule (optimizationStuff.cpp:59-63)
+        if fid - best_id <= lcc.min_separation:
+            continue
+        cooldown = lcc.cooldown
+        accepted.append((fid, best_id, np.asarray(bi_d), np.asarray(im_d),
+                         n_inl))
+
+    if accepted:
+        if lcc.edge_measurement == "pnp":
+            sel = [(q, m) for q, m, _, _, _ in accepted]
+            sel_geom = (
+                np.asarray([a[4] for a in accepted]),
+                np.stack([a[2] for a in accepted]),
+                np.stack([a[3] for a in accepted]),
+            )
+            Zs = _measure_edges_pnp(
+                lc_arrays, sel, sel_geom, left_seq, right_seq, cfg,
+                jax.random.PRNGKey(cfg.seed + 13),
+            )
+        else:
+            Zs = [None] * len(accepted)
+        for (q, m, _, _, n_inl), Z in zip(accepted, Zs):
+            loop_events.append((q, m, n_inl))
+            if Z is None:
+                # reference identity-closure semantics: edge to the
+                # vertex BEFORE the match (poseGraph.h:113-126)
+                loop_edges.append((q, max(m - 1, 0), np.eye(4)))
+            else:
+                loop_edges.append((q, m, Z))
+
+    trajectory = traj_odo
+    if loop_edges:
+        F = traj_odo.shape[0]
+        poses = jnp.asarray(traj_odo, jnp.float32)
+        odo_Z = pg_mod.chain_measurements(poses)
+        li = jnp.asarray([i for i, _, _ in loop_edges], jnp.int32)
+        lj = jnp.asarray([j for _, j, _ in loop_edges], jnp.int32)
+        lZ = jnp.asarray(np.stack([Z for _, _, Z in loop_edges]), jnp.float32)
+        lv = jnp.ones((len(loop_edges),), bool)
+        opt = pg_mod.optimize(
+            poses, jnp.int32(F), odo_Z, li, lj, lZ, lv,
+            iters=cfg.pgo.iters, cg_iters=cfg.pgo.cg_iters,
+            damping=cfg.pgo.damping,
+        )
+        trajectory = np.asarray(opt)
+
+    return ScanSlamResult(
+        trajectory=trajectory,
+        trajectory_odo=traj_odo,
+        loop_events=loop_events,
+        n_inliers=np.asarray(fstats.n_inliers),
+        is_keyframe=np.asarray(fstats.is_keyframe),
+        tracking_ok=np.asarray(fstats.tracking_ok),
+        keyframes=carry.keyframes,
+    )

@@ -88,19 +88,43 @@ def hamming_mxu(sa: jnp.ndarray, sb: jnp.ndarray) -> jnp.ndarray:
     return (N_BITS - dot) * 0.5
 
 
-@partial(jax.jit, static_argnames=("n_features",))
+@partial(jax.jit, static_argnames=("n_features", "backend"))
 def detect_and_compute(
     img: jnp.ndarray,
     n_features: int = 512,
     fast_thresh: float | jnp.ndarray = 12.0 / 255.0,
+    backend: str = "auto",
 ) -> OrbFeatures:
-    """Single-scale ORB on a [0,1] grayscale image."""
+    """Single-scale ORB on a [0,1] grayscale image.
+
+    `backend`: "auto" uses the Pallas descriptor kernel on TPU (the jnp
+    path's ~620k bilinear samples lower to near-scalar XLA gathers there,
+    ~25 ms/frame); "jnp" forces the reference path (CPU / test oracle).
+    """
     h, w = img.shape
     score = fast.fast_score(img, fast_thresh)
     cand_pts, cand_scores, cand_mask = fast.top_corners(score, 4 * n_features)
     pts, valid = anms.anms(cand_pts, cand_scores, cand_mask, n_features)
     margin = PATCH // 2 + 2
     valid = valid & interp.in_bounds(pts, h, w, margin)
+
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        from ros_stereo_slam_tpu.ops import orb_pallas
+
+        sign_k, m = orb_pallas.orb_descriptors(img, pts)
+        angle = jnp.arctan2(m[:, 1], m[:, 0])
+        bits = sign_k > 0.0
+        sign = sign_k * valid[:, None]
+        return OrbFeatures(
+            pts=pts,
+            angle=angle,
+            desc_bits=pack_bits(bits & valid[:, None]),
+            desc_sign=sign,
+            valid=valid,
+        )
 
     # Orientation: intensity centroid over the circular patch.
     cent = jnp.asarray(_CENT)  # (M, 2)

@@ -80,6 +80,13 @@ def stereo_triangulate(imL, imR, K, baseline, step=30):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=192)
+    ap.add_argument("--full", action="store_true",
+                    help="add the reference's per-frame loop-detection "
+                    "front half: ORB detectAndCompute on every frame "
+                    "(src/optimizationStuff.cpp:50-55). The DBoW2 "
+                    "transform+query+geometric check cannot be "
+                    "re-executed (DBoW2 absent), so this remains a "
+                    "CONSERVATIVE bar for the reference's full loop.")
     args = ap.parse_args()
 
     from ros_stereo_slam_tpu.config import CameraConfig
@@ -101,6 +108,8 @@ def main():
     K = np.array([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]])
     b = cam.baseline
 
+    orb_det = cv2.ORB_create(nfeatures=500) if args.full else None
+
     t0 = time.perf_counter()
     # frame-0 bootstrap (initSequence src/VisualSLAM.cpp:22-52)
     ref3d, ref2d = stereo_triangulate(frames[0][0], frames[0][1], K, b)
@@ -109,6 +118,9 @@ def main():
     for i in range(1, n_total):
         imL, imR = frames[i]
         prevL = frames[i - 1][0]
+        if orb_det is not None:
+            # checkLoopDetectorStatus front half (optimizationStuff:50-55)
+            orb_det.detectAndCompute(imL, None)
         # PyrLKtrackFrame2Frame (src/tracking.cpp:46-91)
         nxt, st, _ = cv2.calcOpticalFlowPyrLK(prevL, imL, ref2d, None, **LK_PARAMS)
         st = st.ravel().astype(bool)
