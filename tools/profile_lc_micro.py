@@ -1,0 +1,162 @@
+"""Micro-profile the on-device loop-detection stage (slam_scan._lc_scan_step).
+
+The dev TPU tunnel adds ~40 ms per dispatch, so each stage is repeated
+inside ONE lax.scan dispatch over the staged frames and the per-iteration
+cost is the (large-R minus small-R) slope — dispatch latency cancels.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ros_stereo_slam_tpu.config import LoopClosureConfig, preset_loop_closure
+from ros_stereo_slam_tpu.data.synthetic import SyntheticWorld
+from ros_stereo_slam_tpu.models import slam_scan, vocab as vocab_mod
+from ros_stereo_slam_tpu.ops import anms, fast as fast_mod, interp, orb as orb_mod
+
+R = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+N = 16
+cfg = preset_loop_closure().replace(
+    loop=dataclasses.replace(LoopClosureConfig(), db_capacity=512)
+)
+lcc = cfg.loop
+world = SyntheticWorld(camera=cfg.camera, n_frames=N + 1, seed=11, half_w=18.0)
+fr = [world.render(i) for i in range(N + 1)]
+L = jax.device_put(jnp.asarray(np.stack([f[0] for f in fr]), jnp.float32))
+jax.block_until_ready(L)
+
+descs = []
+for i in range(0, N + 1, 8):
+    f = orb_mod.detect_and_compute(L[i], lcc.orb_features)
+    v = np.asarray(f.valid)
+    descs.append(np.asarray(f.desc_sign)[v])
+voc = vocab_mod.train(np.concatenate(descs), k=9, levels=3)
+centers = tuple(voc.centers)
+idf = jnp.asarray(voc.idf)
+lc0 = slam_scan.init_lc_state(cfg, voc.n_words)
+lc1, _ = partial(jax.jit, static_argnames=("cfg", "vocab_k"))(
+    slam_scan._lc_scan_step
+)(lc0, L[0], jnp.int32(0), centers, idf, cfg, voc.k)
+jax.block_until_ready(lc1.db_bow)
+
+feats0 = orb_mod.detect_and_compute(L[1], lcc.orb_features)
+jax.block_until_ready(feats0.desc_sign)
+
+
+def slope(label, make_fn):
+    """make_fn(reps) -> jitted zero-arg callable running reps iterations."""
+    f_small, f_big = make_fn(4), make_fn(4 + R)
+    f_small(); f_big()  # compile both
+    ts = []
+    for f in (f_small, f_big):
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(f())
+            best = min(best, time.perf_counter() - t0)
+        ts.append(best)
+    per = (ts[1] - ts[0]) / R * 1e3
+    print(f"{label:44s}: {per:8.3f} ms/iter")
+
+
+def mk_full(reps):
+    @jax.jit
+    def run():
+        def body(lc, i):
+            lc, st = slam_scan._lc_scan_step(
+                lc, L[i % N + 1], i + 1, centers, idf, cfg, voc.k
+            )
+            return lc, st.top_scores[0]
+        _, out = lax.scan(body, lc1, jnp.arange(reps))
+        return out
+    return run
+
+
+def mk_orb(reps):
+    @jax.jit
+    def run():
+        def body(c, i):
+            f = orb_mod.detect_and_compute(
+                L[i % N + 1], lcc.orb_features, cfg.frontend.fast_thresh / 255.0
+            )
+            return c + f.desc_sign[0, 0], 0.0
+        c, _ = lax.scan(body, jnp.float32(0), jnp.arange(reps))
+        return c
+    return run
+
+
+def mk_fast(reps):
+    @jax.jit
+    def run():
+        def body(c, i):
+            score = fast_mod.fast_score(
+                L[i % N + 1], cfg.frontend.fast_thresh / 255.0
+            )
+            p, s, m = fast_mod.top_corners(score, 4 * lcc.orb_features)
+            return c + p[0, 0], 0.0
+        c, _ = lax.scan(body, jnp.float32(0), jnp.arange(reps))
+        return c
+    return run
+
+
+def mk_fastscore(reps):
+    @jax.jit
+    def run():
+        def body(c, i):
+            score = fast_mod.fast_score(
+                L[i % N + 1], cfg.frontend.fast_thresh / 255.0
+            )
+            return c + score[50, 50], 0.0
+        c, _ = lax.scan(body, jnp.float32(0), jnp.arange(reps))
+        return c
+    return run
+
+
+def mk_anms(reps):
+    score0 = fast_mod.fast_score(L[1], cfg.frontend.fast_thresh / 255.0)
+    cp, cs, cm = fast_mod.top_corners(score0, 4 * lcc.orb_features)
+
+    @jax.jit
+    def run():
+        def body(c, i):
+            p, v = anms.anms(cp + c * 0, cs, cm, lcc.orb_features)
+            return c + p[0, 0], 0.0
+        c, _ = lax.scan(body, jnp.float32(0), jnp.arange(reps))
+        return c
+    return run
+
+
+def mk_query(reps):
+    n_words = idf.shape[0]
+
+    @jax.jit
+    def run():
+        def body(c, i):
+            words = vocab_mod._descend(
+                list(centers), feats0.desc_sign + c * 0, voc.k, len(centers)
+            )
+            bow = vocab_mod.bow_row(words, feats0.valid, idf, n_words)
+            s = vocab_mod.score_l1(bow, lc1.db_bow)
+            ts, ti = lax.top_k(s, lcc.max_db_results)
+            return c + ts[0], 0.0
+        c, _ = lax.scan(body, jnp.float32(0), jnp.arange(reps))
+        return c
+    return run
+
+
+slope("full _lc_scan_step", mk_full)
+slope("orb.detect_and_compute", mk_orb)
+slope("  FAST score only", mk_fastscore)
+slope("  FAST score + top_corners", mk_fast)
+slope("  ANMS (4*nf candidates)", mk_anms)
+slope("descend + bow + db score + top_k", mk_query)
