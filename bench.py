@@ -101,23 +101,30 @@ def main() -> None:
         from ros_stereo_slam_tpu.models.slam_scan import run_offline_slam
         from ros_stereo_slam_tpu.ops import orb
 
-        cap = 1 << (n_total - 1).bit_length()
+        # Reference scale: k=9, L=6 = 531,441 words and a 4,096-frame
+        # database (the reference trains k=9 L=6 vocabularies,
+        # bagOfWordsDetector.cpp:21, and allocates 4,000 db entries,
+        # visualSLAM.h:137).  The sparse BoW database makes this ~100 MB
+        # of device state; a dense (capacity, n_words) matrix would be
+        # ~8.7 GB.
         cfg = preset_loop_closure().replace(
             camera=cam,
-            loop=dataclasses.replace(
-                LoopClosureConfig(), db_capacity=max(cap, 512)
-            ),
+            loop=dataclasses.replace(LoopClosureConfig(), db_capacity=4096),
         )
         print("[bench] training vocabulary (untimed offline step)...",
               file=sys.stderr)
-        descs = []
+        descs, docs = [], []
         for i in range(0, n_total, 8):
             f = orb.detect_and_compute(
                 jnp.asarray(left_seq[i]), cfg.loop.orb_features
             )
             v = np.asarray(f.valid)
             descs.append(np.asarray(f.desc_sign)[v])
-        voc = vocab_mod.train(np.concatenate(descs), k=9, levels=3)
+            docs.append(np.full(int(v.sum()), i))
+        voc = vocab_mod.train_batched(
+            np.concatenate(descs), k=cfg.loop.vocab_k,
+            levels=cfg.loop.vocab_levels, doc_ids=np.concatenate(docs),
+        )
         # Pre-stage frames in HBM (same rule as the odometry mode: the
         # timed region measures compute, not the dev-tunnel PCIe stand-in).
         left_dev = jax.device_put(jnp.asarray(left_seq, jnp.float32))
@@ -145,6 +152,9 @@ def main() -> None:
             "frames": args.frames,
             "mode": "scan+epilogue",
             "preset": "loop_closure",
+            "vocab_words": voc.n_words,
+            "db_capacity": cfg.loop.db_capacity,
+            "detect_every": cfg.loop.detect_every,
             "platform": platform,
         }))
         return

@@ -159,9 +159,20 @@ class LoopClosureConfig:
 
     enabled: bool = True
     orb_features: int = 512  # descriptors per frame (static capacity)
-    vocab_k: int = 9  # branching factor, reference bagOfWordsDetector.cpp:21
+    # Vocabulary geometry (reference bagOfWordsDetector.cpp:21: k=9, L=6 =
+    # 531,441 words).  Read by bench.py and tools/build_vocab.py when
+    # training; the detector itself takes whatever Vocabulary it is given.
+    # No equivalent of DBoW2's di_levels direct index exists: the geometric
+    # check brute-forces ALL descriptor pairs on the MXU, which strictly
+    # supersedes the direct-index shortlist (a CPU-time optimization).
+    vocab_k: int = 9  # branching factor
     vocab_levels: int = 6  # depth
-    direct_index_level: int = 2  # di_levels, reference visualSLAM.h:126
+    # Detection cadence: run ORB + BoW + database query every Nth frame
+    # (1 = reference behavior, optimizationStuff.cpp:49 runs every frame).
+    # The accept rule needs query-match > 100 frames and arms a 100-frame
+    # cooldown, so strides <= 4 cost no recall on revisits lasting a few
+    # frames; the temporal-consistency window widens with the stride.
+    detect_every: int = 1
     dislocal: int = 20  # skip this many recent frames (detector default)
     max_db_results: int = 50
     min_nss: float = 0.005

@@ -1,12 +1,22 @@
-"""BoW loop-closure detector (reference C9).
+"""BoW loop-closure detector (reference C9) — scale-true sparse database.
 
 Re-implements the vendored DLoopDetector pipeline
 (``/root/reference/include/TemplatedLoopDetector.h:697-861`` ``detectLoop``)
 the TPU way:
 
-- database scoring: the inverted index + pointer-chasing query becomes a
-  dense masked L1-score over a device-resident (capacity, n_words) BoW
-  matrix — one vectorized pass, no per-word lists;
+- database scoring: DBoW2's inverted index + pointer-chasing query
+  (``:725`` ``db.query``) becomes a fixed-shape min-intersection pass over
+  a SPARSE database — each frame stores at most ``orb_features`` merged
+  (word id, TF-IDF weight) pairs; the query is scattered into one dense
+  (n_words,) row and the whole database is scored with a gather +
+  masked min-sum (:func:`vocab.score_db_sparse`).  At the reference
+  scale (k=9, L=6 = 531,441 words, 4,000-frame database,
+  ``src/bagOfWordsDetector.cpp:21``, ``include/visualSLAM.h:137``) this
+  is ~16 MB of BoW state where a dense (capacity, n_words) matrix would
+  be ~8.7 GB;
+- descriptors are stored PACKED ((capacity, nf, 8) uint32, 64 MB at
+  reference scale) and unpacked to MXU sign vectors only for the single
+  matched frame at geometric-check time;
 - normalized-similarity gate (min_nss, ``:733-740``), removeLowScores
   (alpha, ``:748``);
 - island grouping (``computeIslands`` ``:875-949``) and the temporal
@@ -15,8 +25,9 @@ the TPU way:
 - geometric check: the direct-index descriptor matching + neighbour-ratio
   + F-matrix RANSAC (``isGeometricallyConsistent_DI`` ``:1006-1087``)
   becomes a brute-force Hamming matmul on the MXU (strictly more matches
-  than the direct-index shortlist, which exists only to save CPU time)
-  + the same ratio test + the batched 8-point RANSAC of
+  than the direct-index shortlist, which exists only to save CPU time —
+  which is also why no equivalent of DBoW2's ``di_levels`` node index is
+  kept) + the same ratio test + the batched 8-point RANSAC of
   :mod:`ros_stereo_slam_tpu.ops.ransac` (min 12 inliers at 2 px,
   ``Parameters`` defaults ``:100-180``).
 
@@ -54,15 +65,16 @@ class LoopCandidate:
 
 @partial(jax.jit, static_argnames=("top_k",))
 def _query_scores(
-    bow: jnp.ndarray,
-    db_bow: jnp.ndarray,
+    q_dense: jnp.ndarray,
+    db_words: jnp.ndarray,
+    db_wvals: jnp.ndarray,
     db_valid: jnp.ndarray,
     max_id: jnp.ndarray,
     db_ids: jnp.ndarray,
     top_k: int,
 ):
-    """Masked L1 scores of `bow` vs the db; returns (top ids, top scores)."""
-    s = vocab_mod.score_l1(bow, db_bow)
+    """Sparse-db min-intersection scores; returns (top ids, top scores)."""
+    s = vocab_mod.score_db_sparse(q_dense, db_words, db_wvals)
     ok = db_valid & (db_ids <= max_id)
     s = jnp.where(ok, s, -1e9)
     vals, idx = jax.lax.top_k(s, top_k)
@@ -71,16 +83,20 @@ def _query_scores(
 
 @jax.jit
 def _geom_match(
-    sign_q: jnp.ndarray, pts_q: jnp.ndarray, valid_q: jnp.ndarray,
-    sign_m: jnp.ndarray, pts_m: jnp.ndarray, valid_m: jnp.ndarray,
+    bits_q: jnp.ndarray, pts_q: jnp.ndarray, valid_q: jnp.ndarray,
+    bits_m: jnp.ndarray, pts_m: jnp.ndarray, valid_m: jnp.ndarray,
     key: jax.Array, thresh_px: jnp.ndarray, ratio: jnp.ndarray,
 ):
     """Brute-force descriptor matching + ratio test + F-RANSAC.
 
+    Inputs are PACKED (N, 8) uint32 descriptors (unpacked to MXU sign
+    vectors here — only two frames' worth, never the whole database).
     Returns (n_inliers, best_match_idx (N,), inlier_mask (N,)) — the
     correspondences feed the optional PnP loop-edge measurement (the
     reference's future-work ``getLCMeasurement``, ``dump.cpp:331-348``).
     """
+    sign_q = orb_mod.sign_of_packed(bits_q)
+    sign_m = orb_mod.sign_of_packed(bits_m)
     ham = orb_mod.hamming_mxu(sign_q, sign_m)  # (N, M)
     ham = jnp.where(valid_m[None, :], ham, 1e9)
     # two smallest distances per query row
@@ -93,7 +109,15 @@ def _geom_match(
     res = ransac.fmat_ransac(
         key, pts_q, m_pts, good, thresh_px=thresh_px, iters=256
     )
-    return res.n_inliers, best, good & res.inliers
+    # Measurement set: the strict ratio gates the ACCEPT decision
+    # (reference neigh-ratio 0.6, TemplatedLoopDetector.h:1295), but the
+    # PnP loop-edge measurement wants every correspondence the verified
+    # epipolar geometry supports — a looser ratio re-gated by the SAME
+    # best F (res.errors covers all rows).  More points -> a tighter
+    # metric edge for the pose graph.
+    loose = valid_q & (d1 < 0.85 * d2) & (d1 < 1e8)
+    meas = loose & (res.errors < thresh_px * thresh_px)
+    return res.n_inliers, best, meas
 
 
 def group_islands(ids: np.ndarray, scores: np.ndarray):
@@ -127,10 +151,16 @@ def group_islands(ids: np.ndarray, scores: np.ndarray):
 class CandidateGater:
     """The nss / alpha / island / temporal-window gate chain, shared by the
     streaming detector and the scan-mode epilogue (identical semantics:
-    TemplatedLoopDetector.h:733-772)."""
+    TemplatedLoopDetector.h:733-772).
 
-    def __init__(self, config: LoopClosureConfig):
+    ``stride`` widens the island-gap and temporal-window tolerances when
+    detection runs every Nth frame (config ``detect_every``) so one
+    detected frame still chains consistency with the next detected frame.
+    """
+
+    def __init__(self, config: LoopClosureConfig, stride: int = 1):
         self.config = config
+        self.stride = max(int(stride), 1)
         self._window: list[tuple[int, int, int]] = []  # (query, isl_lo, isl_hi)
 
     def gate(self, frame_id: int, ids: np.ndarray, scores: np.ndarray,
@@ -139,28 +169,29 @@ class CandidateGater:
 
         Returns (best_id, best_score, consistent) for a candidate that
         passed nss + alpha + islands + temporal consistency, else None.
-        MUST be called for every frame in order (it threads the temporal
-        window state).
+        MUST be called for every detected frame in order (it threads the
+        temporal window state).
         """
         cfg = self.config
+        gap = 3 * self.stride
         if not (ns >= cfg.min_nss and scores.size and scores[0] > 0):
-            self._window.append((frame_id, -10, -10))
+            self._window.append((frame_id, -10 * gap, -10 * gap))
             self._window = self._window[-8:]
             return None
         nss = scores / max(ns, 1e-6)
         keep = (nss >= cfg.alpha) & (scores > -1e8)
         islands = group_islands(ids[keep], nss[keep])
         if not islands:
-            self._window.append((frame_id, -10, -10))
+            self._window.append((frame_id, -10 * gap, -10 * gap))
             self._window = self._window[-8:]
             return None
         best = max(islands, key=lambda g: g[0])
         _, best_id, best_score, lo, hi = best
         consistent = 0
         for (q, plo, phi) in reversed(self._window):
-            if frame_id - q > 3:
+            if frame_id - q > gap:
                 break
-            if lo <= phi + 3 and hi >= plo - 3:
+            if lo <= phi + gap and hi >= plo - gap:
                 consistent += 1
                 lo = min(lo, plo)
                 hi = max(hi, phi)
@@ -175,13 +206,14 @@ class CandidateGater:
 
 @dataclass
 class LoopDetector:
-    """Streaming detector over a fixed-capacity device database."""
+    """Streaming detector over a fixed-capacity sparse device database."""
 
     vocab: vocab_mod.Vocabulary
     config: LoopClosureConfig
-    # device-side database
-    db_bow: jnp.ndarray = field(init=False)
-    db_sign: jnp.ndarray = field(init=False)
+    # device-side database (sparse BoW + packed descriptors)
+    db_words: jnp.ndarray = field(init=False)
+    db_wvals: jnp.ndarray = field(init=False)
+    db_bits: jnp.ndarray = field(init=False)
     db_pts: jnp.ndarray = field(init=False)
     db_pt_valid: jnp.ndarray = field(init=False)
     db_valid: jnp.ndarray = field(init=False)
@@ -190,47 +222,53 @@ class LoopDetector:
     def __post_init__(self):
         cap = self.config.db_capacity
         nf = self.config.orb_features
-        nw = self.vocab.n_words
-        self.db_bow = jnp.zeros((cap, nw), jnp.float32)
-        self.db_sign = jnp.zeros((cap, nf, orb_mod.N_BITS), jnp.float32)
+        self.db_words = jnp.zeros((cap, nf), jnp.int32)
+        self.db_wvals = jnp.zeros((cap, nf), jnp.float32)
+        self.db_bits = jnp.zeros((cap, nf, orb_mod.N_BITS // 32), jnp.uint32)
         self.db_pts = jnp.zeros((cap, nf, 2), jnp.float32)
         self.db_pt_valid = jnp.zeros((cap, nf), bool)
         self.db_valid = jnp.zeros((cap,), bool)
         self.db_ids = jnp.full((cap,), -1, jnp.int32)
         self._idf = jnp.asarray(self.vocab.idf)
-        self._last_bow = None
+        self._last = None  # (uwords, uvals) of the previous frame
         self._gater = CandidateGater(self.config)
         self._key = jax.random.PRNGKey(77)
 
     # -- internals ---------------------------------------------------------
 
-    def _bow_of(self, feats: orb_mod.OrbFeatures) -> jnp.ndarray:
+    def _bow_of(self, feats: orb_mod.OrbFeatures):
         words = vocab_mod.transform_words(self.vocab, feats.desc_sign)
-        return vocab_mod.bow_row(words, feats.valid, self._idf, self.vocab.n_words)
+        return vocab_mod.bow_sparse(
+            words, feats.valid, self._idf, self.vocab.n_words
+        )
 
     # -- public API --------------------------------------------------------
 
-    def add(self, frame_id: int, feats: orb_mod.OrbFeatures, bow: jnp.ndarray | None = None):
+    def add(self, frame_id: int, feats: orb_mod.OrbFeatures, bow=None):
         if bow is None:
             bow = self._bow_of(feats)
+        uw, uv = bow
         slot = frame_id % self.config.db_capacity
-        self.db_bow = self.db_bow.at[slot].set(bow)
-        self.db_sign = self.db_sign.at[slot].set(feats.desc_sign)
+        self.db_words = self.db_words.at[slot].set(uw)
+        self.db_wvals = self.db_wvals.at[slot].set(uv)
+        self.db_bits = self.db_bits.at[slot].set(feats.desc_bits)
         self.db_pts = self.db_pts.at[slot].set(feats.pts)
         self.db_pt_valid = self.db_pt_valid.at[slot].set(feats.valid)
         self.db_valid = self.db_valid.at[slot].set(True)
         self.db_ids = self.db_ids.at[slot].set(frame_id)
-        self._last_bow = bow
+        self._last = (uw, uv)
 
     def detect(self, frame_id: int, feats: orb_mod.OrbFeatures) -> LoopCandidate | None:
         """Run detection for the frame, then add it to the database."""
         cfg = self.config
-        bow = self._bow_of(feats)
+        uw, uv = self._bow_of(feats)
         result = None
-        if self._last_bow is not None and frame_id > cfg.dislocal:
-            ns = float(vocab_mod.score_l1(bow, self._last_bow[None, :])[0])
+        if self._last is not None and frame_id > cfg.dislocal:
+            q_dense = vocab_mod.dense_of_sparse(uw, uv, self.vocab.n_words)
+            lw, lv = self._last
+            ns = float(vocab_mod.score_pair_sparse(q_dense, lw, lv))
             ids_d, scores_d = _query_scores(
-                bow, self.db_bow, self.db_valid,
+                q_dense, self.db_words, self.db_wvals, self.db_valid,
                 jnp.int32(frame_id - cfg.dislocal - 1), self.db_ids,
                 cfg.max_db_results,
             )
@@ -245,8 +283,8 @@ class LoopDetector:
                 slot = best_id % cfg.db_capacity
                 self._key, k = jax.random.split(self._key)
                 n_inl_d, best_d, inl_d = _geom_match(
-                    feats.desc_sign, feats.pts, feats.valid,
-                    self.db_sign[slot], self.db_pts[slot],
+                    feats.desc_bits, feats.pts, feats.valid,
+                    self.db_bits[slot], self.db_pts[slot],
                     self.db_pt_valid[slot],
                     k, jnp.float32(cfg.geom_thresh_px),
                     jnp.float32(cfg.neigh_ratio),
@@ -260,5 +298,5 @@ class LoopDetector:
                         match_idx=np.asarray(best_d),
                         match_inliers=np.asarray(inl_d),
                     )
-        self.add(frame_id, feats, bow)
+        self.add(frame_id, feats, (uw, uv))
         return result

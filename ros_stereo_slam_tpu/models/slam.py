@@ -298,13 +298,16 @@ class StereoSLAM:
         }
         if self.detector is not None:
             d = self.detector
+            nf = self.config.loop.orb_features
+            last = d._last if d._last is not None else (
+                jnp.zeros((nf,), jnp.int32), jnp.zeros((nf,), jnp.float32)
+            )
             tree["det"] = {
-                "bow": d.db_bow, "sign": d.db_sign, "pts": d.db_pts,
+                "words": d.db_words, "wvals": d.db_wvals, "bits": d.db_bits,
+                "pts": d.db_pts,
                 "pt_valid": d.db_pt_valid, "valid": d.db_valid,
                 "ids": d.db_ids,
-                "last_bow": d._last_bow if d._last_bow is not None else jnp.zeros(
-                    (self.vocab.n_words,), jnp.float32
-                ),
+                "last_words": last[0], "last_wvals": last[1],
             }
         return tree
 
@@ -320,7 +323,10 @@ class StereoSLAM:
             "loop_events": [
                 [e.query, e.match, e.n_inliers] for e in self.loop_events
             ],
-            "window": [list(w) for w in (self.detector._window if self.detector else [])],
+            "window": [
+                list(w)
+                for w in (self.detector._gater._window if self.detector else [])
+            ],
             "tracking_failed": self.tracking_failed,
         }
         checkpoint.save_pytree(path, self._state_tree(), meta)
@@ -342,12 +348,14 @@ class StereoSLAM:
         if self.detector is not None and "det" in tree:
             d = self.detector
             dd = tree["det"]
-            d.db_bow, d.db_sign, d.db_pts = dd["bow"], dd["sign"], dd["pts"]
+            d.db_words, d.db_wvals, d.db_bits, d.db_pts = (
+                dd["words"], dd["wvals"], dd["bits"], dd["pts"]
+            )
             d.db_pt_valid, d.db_valid, d.db_ids = (
                 dd["pt_valid"], dd["valid"], dd["ids"]
             )
-            d._last_bow = dd["last_bow"]
-            d._window = [tuple(w) for w in meta.get("window", [])]
+            d._last = (dd["last_words"], dd["last_wvals"])
+            d._gater._window = [tuple(w) for w in meta.get("window", [])]
         self.frame_count = meta["frame_count"]
         self.cooldown = meta["cooldown"]
         self.graph.count = meta["graph_count"]

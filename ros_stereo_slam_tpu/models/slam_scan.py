@@ -6,11 +6,20 @@ and blocks on g2o whenever a closure fires
 (``src/VisualSLAM.cpp:76-86``).  TPU-native rewrite:
 
 - **Detection is device work inside the scan.**  ORB (C9), the vocabulary
-  descent, the masked L1 database scoring and the top-K candidate
-  extraction are all fixed-shape, so they fold into the same ``lax.scan``
-  step as odometry — a whole SLAM sequence stays ONE XLA dispatch.  The
-  BoW database lives in the scan carry (fixed capacity, reference
-  allocates 4000: ``include/visualSLAM.h:137``).
+  descent, the sparse min-intersection database scoring and the top-K
+  candidate extraction are all fixed-shape, so they fold into the same
+  ``lax.scan`` step as odometry — a whole SLAM sequence stays ONE XLA
+  dispatch.  The BoW database lives in the scan carry SPARSE: per frame,
+  at most ``orb_features`` merged (word id, weight) pairs plus packed
+  descriptors — ~100 MB at the full reference scale (k=9, L=6 = 531,441
+  words, capacity 4096; ``src/bagOfWordsDetector.cpp:21``,
+  ``include/visualSLAM.h:137``) where a dense BoW matrix would be ~8.7 GB.
+- **Detection cadence is configurable** (``loop.detect_every``): the
+  reference detects every frame only because its host loop is already
+  slow; detecting every Nth frame drops the ORB+BoW cost to 1/N while the
+  100-frame accept separation and the stride-aware temporal window keep
+  recall (a ``lax.cond`` skips the whole detection branch on off frames —
+  TPU executes only the taken branch).
 - **The data-dependent tail is a post-scan epilogue.**  Island grouping,
   the temporal-consistency window, the driver accept rule
   (query − match > 100, cooldown 100: ``optimizationStuff.cpp:59-63``)
@@ -44,15 +53,17 @@ from ros_stereo_slam_tpu.utils import lie
 
 
 class LCScanState(NamedTuple):
-    """Device-resident BoW database threaded through the scan carry."""
+    """Device-resident sparse BoW database threaded through the scan carry."""
 
-    db_bow: jnp.ndarray  # (cap, n_words) f32
-    db_sign: jnp.ndarray  # (cap, nf, 256) f32 sign descriptors
+    db_words: jnp.ndarray  # (cap, nf) i32 merged word ids (0-padded)
+    db_wvals: jnp.ndarray  # (cap, nf) f32 L1-normalized TF-IDF weights
+    db_bits: jnp.ndarray  # (cap, nf, 8) u32 packed descriptors
     db_pts: jnp.ndarray  # (cap, nf, 2) f32
     db_pt_valid: jnp.ndarray  # (cap, nf) bool
     db_valid: jnp.ndarray  # (cap,) bool
     db_ids: jnp.ndarray  # (cap,) i32
-    last_bow: jnp.ndarray  # (n_words,) f32 — previous frame's BoW (nss ref)
+    last_words: jnp.ndarray  # (nf,) i32 — previous detected frame's BoW
+    last_wvals: jnp.ndarray  # (nf,) f32   (nss reference)
     have_last: jnp.ndarray  # () bool
 
 
@@ -61,7 +72,7 @@ class LCScanStats(NamedTuple):
     on these after the dispatch)."""
 
     top_ids: jnp.ndarray  # (K,) i32 db frame ids (-1 padding)
-    top_scores: jnp.ndarray  # (K,) f32 raw L1 scores
+    top_scores: jnp.ndarray  # (K,) f32 raw min-intersection scores
     ns: jnp.ndarray  # () f32 normalizing score vs previous frame
 
 
@@ -69,14 +80,25 @@ def init_lc_state(cfg: PipelineConfig, n_words: int) -> LCScanState:
     cap = cfg.loop.db_capacity
     nf = cfg.loop.orb_features
     return LCScanState(
-        db_bow=jnp.zeros((cap, n_words), jnp.float32),
-        db_sign=jnp.zeros((cap, nf, orb_mod.N_BITS), jnp.float32),
+        db_words=jnp.zeros((cap, nf), jnp.int32),
+        db_wvals=jnp.zeros((cap, nf), jnp.float32),
+        db_bits=jnp.zeros((cap, nf, orb_mod.N_BITS // 32), jnp.uint32),
         db_pts=jnp.zeros((cap, nf, 2), jnp.float32),
         db_pt_valid=jnp.zeros((cap, nf), bool),
         db_valid=jnp.zeros((cap,), bool),
         db_ids=jnp.full((cap,), -1, jnp.int32),
-        last_bow=jnp.zeros((n_words,), jnp.float32),
+        last_words=jnp.zeros((nf,), jnp.int32),
+        last_wvals=jnp.zeros((nf,), jnp.float32),
         have_last=jnp.zeros((), bool),
+    )
+
+
+def _null_stats(cfg: PipelineConfig) -> LCScanStats:
+    k = cfg.loop.max_db_results
+    return LCScanStats(
+        top_ids=jnp.full((k,), -1, jnp.int32),
+        top_scores=jnp.full((k,), -1e9, jnp.float32),
+        ns=jnp.float32(-1.0),
     )
 
 
@@ -89,7 +111,7 @@ def _lc_scan_step(
     cfg: PipelineConfig,
     vocab_k: int,
 ) -> tuple[LCScanState, LCScanStats]:
-    """One frame of on-device detection: ORB -> BoW -> query -> add."""
+    """One frame of on-device detection: ORB -> sparse BoW -> query -> add."""
     lcc = cfg.loop
     n_words = idf.shape[0]
     feats = orb_mod.detect_and_compute(
@@ -98,11 +120,12 @@ def _lc_scan_step(
     words = vocab_mod._descend(
         list(centers), feats.desc_sign, vocab_k, len(centers)
     )
-    bow = vocab_mod.bow_row(words, feats.valid, idf, n_words)
+    uw, uv = vocab_mod.bow_sparse(words, feats.valid, idf, n_words)
+    q_dense = vocab_mod.dense_of_sparse(uw, uv, n_words)
 
-    ns = vocab_mod.score_l1(bow, lc.last_bow[None, :])[0]
+    ns = vocab_mod.score_pair_sparse(q_dense, lc.last_words, lc.last_wvals)
     # db query masked to entries dated <= frame_id - dislocal - 1
-    s = vocab_mod.score_l1(bow, lc.db_bow)
+    s = vocab_mod.score_db_sparse(q_dense, lc.db_words, lc.db_wvals)
     ok = lc.db_valid & (lc.db_ids <= frame_id - lcc.dislocal - 1)
     s = jnp.where(ok, s, -1e9)
     top_scores, top_idx = lax.top_k(s, lcc.max_db_results)
@@ -110,13 +133,15 @@ def _lc_scan_step(
 
     slot = frame_id % lcc.db_capacity
     lc = lc._replace(
-        db_bow=lc.db_bow.at[slot].set(bow),
-        db_sign=lc.db_sign.at[slot].set(feats.desc_sign),
+        db_words=lc.db_words.at[slot].set(uw),
+        db_wvals=lc.db_wvals.at[slot].set(uv),
+        db_bits=lc.db_bits.at[slot].set(feats.desc_bits),
         db_pts=lc.db_pts.at[slot].set(feats.pts),
         db_pt_valid=lc.db_pt_valid.at[slot].set(feats.valid),
         db_valid=lc.db_valid.at[slot].set(True),
         db_ids=lc.db_ids.at[slot].set(frame_id),
-        last_bow=bow,
+        last_words=uw,
+        last_wvals=uv,
         have_last=jnp.ones((), bool),
     )
     stats = LCScanStats(
@@ -148,6 +173,7 @@ def run_sequence_slam(
     vocab_k: int,
 ):
     """Odometry + on-device loop detection for a whole sequence: ONE scan."""
+    every = max(cfg.loop.detect_every, 1)
 
     def body(c, xs):
         sc, lcs = c
@@ -157,8 +183,17 @@ def run_sequence_slam(
         )
         # Note ordering quirk vs the scan stats: frame ids here are the
         # 1-based positions of left_seq rows (frame 0 is the bootstrap).
-        lcs, lstats = _lc_scan_step(lcs, left, fid, centers, idf, cfg,
-                                    vocab_k)
+        if every == 1:
+            lcs, lstats = _lc_scan_step(lcs, left, fid, centers, idf, cfg,
+                                        vocab_k)
+        else:
+            lcs, lstats = lax.cond(
+                fid % every == 0,
+                lambda l: _lc_scan_step(l, left, fid, centers, idf, cfg,
+                                        vocab_k),
+                lambda l: (l, _null_stats(cfg)),
+                lcs,
+            )
         return (sc, lcs), (fstats, lstats)
 
     fids = jnp.arange(1, left_seq.shape[0] + 1, dtype=jnp.int32)
@@ -188,7 +223,7 @@ def _measure_edges_pnp(
     in the query frame.  Falls back to identity (reference semantics,
     ``poseGraph.h:118``) when PnP starves.
     """
-    db_sign, db_pts, db_pt_valid = lc_arrays
+    db_pts, db_pt_valid = lc_arrays
     cam = step_mod._cam_of(cfg)
     cap = cfg.loop.db_capacity
     n_inl, best_idx, inl_mask = geom
@@ -239,7 +274,8 @@ def run_offline_slam(
         l0, r0, grid_pts, grid_mask, jax.random.PRNGKey(cfg.seed), cfg
     )
     lc0 = init_lc_state(cfg, vocab.n_words)
-    # frame 0 enters the database too (the reference adds every frame)
+    # frame 0 enters the database too (the reference adds every frame;
+    # 0 % detect_every == 0, so frame 0 is always a detection frame)
     lc0, _ = _lc_scan_step_jit(
         lc0, l0, jnp.int32(0), tuple(vocab.centers),
         jnp.asarray(vocab.idf), cfg, vocab.k,
@@ -263,11 +299,12 @@ def run_offline_slam(
     # cooldown is armed — a gate candidate that fails geometry must NOT
     # suppress detection on the following frames.
     lcc = cfg.loop
+    every = max(lcc.detect_every, 1)
     top_ids = np.asarray(lstats.top_ids)
     top_scores = np.asarray(lstats.top_scores)
     ns_arr = np.asarray(lstats.ns)
-    gater = lc_mod.CandidateGater(lcc)
-    lc_arrays = (lc.db_sign, lc.db_pts, lc.db_pt_valid)
+    gater = lc_mod.CandidateGater(lcc, stride=every)
+    lc_arrays = (lc.db_pts, lc.db_pt_valid)
     key = jax.random.PRNGKey(cfg.seed + 7)
     cap = lcc.db_capacity
     cooldown = 0
@@ -276,22 +313,24 @@ def run_offline_slam(
     accepted = []  # (q, m, best_idx, inl_mask, n_inl)
     for i in range(top_ids.shape[0]):
         fid = i + 1
-        if fid <= lcc.dislocal:
-            continue
-        gated = gater.gate(fid, top_ids[i], top_scores[i], float(ns_arr[i]))
         if cooldown > 0:
             cooldown -= 1
+            skip_for_cooldown = True
+        else:
+            skip_for_cooldown = False
+        if fid % every != 0 or fid <= lcc.dislocal:
             continue
-        if gated is None:
+        gated = gater.gate(fid, top_ids[i], top_scores[i], float(ns_arr[i]))
+        if skip_for_cooldown or gated is None:
             continue
         best_id, _, _ = gated
         # geometric verification (same op the streaming detector runs;
         # rare, so a per-candidate device call is fine here)
         key, k = jax.random.split(key)
         n_inl_d, bi_d, im_d = lc_mod._geom_match(
-            lc.db_sign[fid % cap], lc.db_pts[fid % cap],
+            lc.db_bits[fid % cap], lc.db_pts[fid % cap],
             lc.db_pt_valid[fid % cap],
-            lc.db_sign[best_id % cap], lc.db_pts[best_id % cap],
+            lc.db_bits[best_id % cap], lc.db_pts[best_id % cap],
             lc.db_pt_valid[best_id % cap],
             k, jnp.float32(lcc.geom_thresh_px), jnp.float32(lcc.neigh_ratio),
         )

@@ -120,6 +120,116 @@ def test_bow_score_properties(trained_vocab):
     assert -1e-6 <= s_cross <= s_self
 
 
+def test_sparse_bow_matches_dense_oracle(trained_vocab):
+    """bow_sparse + min-intersection scoring must equal the dense L1 form
+    (s = 1 - 0.5*||q-d||_1 == sum_w min(q_w, d_w) for L1-normalized rows),
+    including merged duplicate words and invalid padding."""
+    voc, descs, _ = trained_vocab
+    idf = jnp.asarray(voc.idf)
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(6):
+        w = vocab_mod.transform_words(
+            voc, jnp.asarray(descs[i * 40 : i * 40 + 40])
+        )
+        valid = jnp.asarray(rng.random(40) > 0.2)
+        rows.append((w, valid))
+    # dense oracle
+    dense = [vocab_mod.bow_row(w, v, idf, voc.n_words) for w, v in rows]
+    oracle = np.asarray(vocab_mod.score_l1(dense[0], jnp.stack(dense)))
+    # sparse form
+    sparse = [vocab_mod.bow_sparse(w, v, idf, voc.n_words) for w, v in rows]
+    q_dense = vocab_mod.dense_of_sparse(*sparse[0], voc.n_words)
+    db_words = jnp.stack([s[0] for s in sparse])
+    db_wvals = jnp.stack([s[1] for s in sparse])
+    got = np.asarray(vocab_mod.score_db_sparse(q_dense, db_words, db_wvals))
+    np.testing.assert_allclose(got, oracle, atol=1e-5)
+    # pair score agrees too
+    s_pair = float(vocab_mod.score_pair_sparse(q_dense, *sparse[3]))
+    np.testing.assert_allclose(s_pair, oracle[3], atol=1e-5)
+
+
+def test_sparse_bow_all_invalid_scores_zero(trained_vocab):
+    voc, descs, _ = trained_vocab
+    idf = jnp.asarray(voc.idf)
+    w = vocab_mod.transform_words(voc, jnp.asarray(descs[:40]))
+    uw, uv = vocab_mod.bow_sparse(w, jnp.zeros((40,), bool), idf, voc.n_words)
+    assert float(jnp.sum(uv)) == 0.0
+    q = vocab_mod.dense_of_sparse(
+        *vocab_mod.bow_sparse(w, jnp.ones((40,), bool), idf, voc.n_words),
+        voc.n_words,
+    )
+    assert float(vocab_mod.score_pair_sparse(q, uw, uv)) == 0.0
+
+
+def test_train_batched_clusters_like_recursive(trained_vocab):
+    """The level-synchronous device trainer must produce a vocabulary with
+    the same qualitative behavior as the recursive oracle: near-duplicate
+    descriptors map to one word, distinct prototypes separate."""
+    _, descs, protos = trained_vocab
+    docs = np.repeat(np.arange(20), 40)
+    voc = vocab_mod.train_batched(descs, k=4, levels=3, doc_ids=docs, seed=3)
+    rng = np.random.default_rng(2)
+    sims = []
+    for _ in range(32):
+        p = protos[0].copy()
+        flip = rng.random(orb.N_BITS) < 0.03
+        p[flip] *= -1
+        sims.append(p)
+    words = np.asarray(
+        vocab_mod.transform_words(voc, jnp.asarray(np.asarray(sims, np.float32)))
+    )
+    _, counts = np.unique(words, return_counts=True)
+    assert counts.max() >= 24
+    # distinct prototypes land on many distinct words
+    pwords = np.asarray(
+        vocab_mod.transform_words(voc, jnp.asarray(protos.astype(np.float32)))
+    )
+    assert len(np.unique(pwords)) >= 6
+    # idf is populated (TF-IDF path ran)
+    assert (voc.idf > 0).any()
+
+
+def test_sparse_scoring_at_reference_vocab_scale():
+    """Scoring math at the TRUE reference vocabulary size (k=9, L=6 =
+    531,441 words): a sparse database never materializes (cap, n_words);
+    scores must equal a host dict-intersection oracle."""
+    n_words = 9**6
+    nf = 64
+    cap = 16
+    rng = np.random.default_rng(11)
+    db_words = rng.integers(0, n_words, (cap, nf)).astype(np.int32)
+    # force overlaps with the query on some rows
+    q_words = rng.integers(0, n_words, (nf,)).astype(np.int32)
+    db_words[3, :20] = q_words[:20]
+    db_words[7, 10:40] = q_words[10:40]
+    db_vals = rng.random((cap, nf)).astype(np.float32)
+    db_vals /= db_vals.sum(axis=1, keepdims=True)
+    q_vals = rng.random((nf,)).astype(np.float32)
+    q_vals /= q_vals.sum()
+    # host oracle: dict min-intersection (rows here are unique by
+    # construction w.h.p. at 531k words; assert to be safe)
+    assert len(np.unique(q_words)) == nf
+    oracle = np.zeros((cap,), np.float32)
+    qd = {int(w): float(v) for w, v in zip(q_words, q_vals)}
+    for c in range(cap):
+        assert len(np.unique(db_words[c])) == nf
+        oracle[c] = sum(
+            min(qd[int(w)], float(v))
+            for w, v in zip(db_words[c], db_vals[c])
+            if int(w) in qd
+        )
+    q_dense = vocab_mod.dense_of_sparse(
+        jnp.asarray(q_words), jnp.asarray(q_vals), n_words
+    )
+    got = np.asarray(
+        vocab_mod.score_db_sparse(
+            q_dense, jnp.asarray(db_words), jnp.asarray(db_vals)
+        )
+    )
+    np.testing.assert_allclose(got, oracle, atol=1e-6)
+
+
 def test_vocab_save_load(trained_vocab, tmp_path):
     voc, descs, _ = trained_vocab
     path = str(tmp_path / "voc.npz")

@@ -103,10 +103,11 @@ def test_scan_stats_match_streaming_detector(scan_run):
     for i in range(max(check_frames) + 1):
         feats = orb.detect_and_compute(jnp.asarray(L[i]), lcc.orb_features)
         bow = det._bow_of(feats)
-        if det._last_bow is not None and i > lcc.dislocal:
-            ns = float(vocab_mod.score_l1(bow, det._last_bow[None, :])[0])
+        if det._last is not None and i > lcc.dislocal:
+            q_dense = vocab_mod.dense_of_sparse(*bow, voc.n_words)
+            ns = float(vocab_mod.score_pair_sparse(q_dense, *det._last))
             ids_d, sc_d = lc_mod._query_scores(
-                bow, det.db_bow, det.db_valid,
+                q_dense, det.db_words, det.db_wvals, det.db_valid,
                 jnp.int32(i - lcc.dislocal - 1), det.db_ids,
                 lcc.max_db_results,
             )

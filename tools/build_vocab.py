@@ -73,8 +73,12 @@ def main():
             print(f"[vocab] {i}/{n} ({sum(len(d) for d in descs)} descriptors)")
     X = np.concatenate(descs)
     print(f"[vocab] training k={args.k} L={args.levels} on {len(X)} descriptors...")
-    voc = vocab_mod.train(X, k=args.k, levels=args.levels,
-                          doc_ids=np.concatenate(docs))
+    trainer = (
+        vocab_mod.train_batched if args.k ** args.levels > 4096
+        else vocab_mod.train
+    )
+    voc = trainer(X, k=args.k, levels=args.levels,
+                  doc_ids=np.concatenate(docs))
     voc.save(args.out)
     print(f"[vocab] saved {voc.n_words}-word vocabulary to {args.out}")
 

@@ -42,7 +42,8 @@ for i in range(0, N_FRAMES, 8):
     f = orb_mod.detect_and_compute(L[i], cfg.loop.orb_features)
     v = np.asarray(f.valid)
     descs.append(np.asarray(f.desc_sign)[v])
-voc = vocab_mod.train(np.concatenate(descs), k=9, levels=3)
+voc = vocab_mod.train_batched(np.concatenate(descs), k=cfg.loop.vocab_k,
+                              levels=cfg.loop.vocab_levels)
 centers = tuple(voc.centers)
 idf = jnp.asarray(voc.idf)
 
@@ -66,15 +67,16 @@ def scan_lc(left_seq, lc, centers, idf, cfg, vocab_k, stage):
                 left, lcc.orb_features, cfg.frontend.fast_thresh / 255.0)
             words = vocab_mod._descend(
                 list(centers), feats.desc_sign, vocab_k, len(centers))
-            bow = vocab_mod.bow_row(words, feats.valid, idf, n_words)
-            return lcs, jnp.sum(bow)
+            uw, uv = vocab_mod.bow_sparse(words, feats.valid, idf, n_words)
+            return lcs, jnp.sum(uv)
         if stage == "orb_descend_query":
             feats = orb_mod.detect_and_compute(
                 left, lcc.orb_features, cfg.frontend.fast_thresh / 255.0)
             words = vocab_mod._descend(
                 list(centers), feats.desc_sign, vocab_k, len(centers))
-            bow = vocab_mod.bow_row(words, feats.valid, idf, n_words)
-            s = vocab_mod.score_l1(bow, lcs.db_bow)
+            uw, uv = vocab_mod.bow_sparse(words, feats.valid, idf, n_words)
+            q_dense = vocab_mod.dense_of_sparse(uw, uv, n_words)
+            s = vocab_mod.score_db_sparse(q_dense, lcs.db_words, lcs.db_wvals)
             top_scores, top_idx = lax.top_k(s, lcc.max_db_results)
             return lcs, jnp.sum(top_scores)
         raise ValueError(stage)

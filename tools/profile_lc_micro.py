@@ -40,14 +40,17 @@ for i in range(0, N + 1, 8):
     f = orb_mod.detect_and_compute(L[i], lcc.orb_features)
     v = np.asarray(f.valid)
     descs.append(np.asarray(f.desc_sign)[v])
-voc = vocab_mod.train(np.concatenate(descs), k=9, levels=3)
+voc = vocab_mod.train_batched(np.concatenate(descs), k=lcc.vocab_k,
+                              levels=lcc.vocab_levels)
 centers = tuple(voc.centers)
 idf = jnp.asarray(voc.idf)
 lc0 = slam_scan.init_lc_state(cfg, voc.n_words)
-lc1, _ = partial(jax.jit, static_argnames=("cfg", "vocab_k"))(
-    slam_scan._lc_scan_step
-)(lc0, L[0], jnp.int32(0), centers, idf, cfg, voc.k)
-jax.block_until_ready(lc1.db_bow)
+# Reuse the module-level jit wrapper (a fresh jax.jit object would
+# recompile the frame-0 step, ~35 s on TPU).
+lc1, _ = slam_scan._lc_scan_step_jit(
+    lc0, L[0], jnp.int32(0), centers, idf, cfg, voc.k
+)
+jax.block_until_ready(lc1.db_wvals)
 
 feats0 = orb_mod.detect_and_compute(L[1], lcc.orb_features)
 jax.block_until_ready(feats0.desc_sign)
@@ -123,13 +126,17 @@ def mk_fastscore(reps):
 
 
 def mk_anms(reps):
-    score0 = fast_mod.fast_score(L[1], cfg.frontend.fast_thresh / 255.0)
-    cp, cs, cm = fast_mod.top_corners(score0, 4 * lcc.orb_features)
-
     @jax.jit
     def run():
         def body(c, i):
-            p, v = anms.anms(cp + c * 0, cs, cm, lcc.orb_features)
+            # i-dependent input: candidates from the i-th frame, so XLA
+            # cannot hoist the stage out of the scan (ADVICE round 1: a
+            # `+ c * 0` fake dependency is algebraically foldable).
+            score = fast_mod.fast_score(
+                L[i % N + 1], cfg.frontend.fast_thresh / 255.0
+            )
+            cp, cs, cm = fast_mod.top_corners(score, 4 * lcc.orb_features)
+            p, v = anms.anms(cp, cs, cm, lcc.orb_features)
             return c + p[0, 0], 0.0
         c, _ = lax.scan(body, jnp.float32(0), jnp.arange(reps))
         return c
@@ -138,15 +145,24 @@ def mk_anms(reps):
 
 def mk_query(reps):
     n_words = idf.shape[0]
+    # Pre-extract per-frame descriptors so the stage input varies with i
+    # (i-dependent data defeats hoisting without foldable tricks).
+    fs = [orb_mod.detect_and_compute(L[j + 1], lcc.orb_features)
+          for j in range(min(N, 4))]
+    signs = jnp.stack([f.desc_sign for f in fs])
+    valids = jnp.stack([f.valid for f in fs])
 
     @jax.jit
     def run():
         def body(c, i):
             words = vocab_mod._descend(
-                list(centers), feats0.desc_sign + c * 0, voc.k, len(centers)
+                list(centers), signs[i % signs.shape[0]], voc.k, len(centers)
             )
-            bow = vocab_mod.bow_row(words, feats0.valid, idf, n_words)
-            s = vocab_mod.score_l1(bow, lc1.db_bow)
+            uw, uv = vocab_mod.bow_sparse(
+                words, valids[i % signs.shape[0]], idf, n_words
+            )
+            q_dense = vocab_mod.dense_of_sparse(uw, uv, n_words)
+            s = vocab_mod.score_db_sparse(q_dense, lc1.db_words, lc1.db_wvals)
             ts, ti = lax.top_k(s, lcc.max_db_results)
             return c + ts[0], 0.0
         c, _ = lax.scan(body, jnp.float32(0), jnp.arange(reps))
@@ -159,4 +175,4 @@ slope("orb.detect_and_compute", mk_orb)
 slope("  FAST score only", mk_fastscore)
 slope("  FAST score + top_corners", mk_fast)
 slope("  ANMS (4*nf candidates)", mk_anms)
-slope("descend + bow + db score + top_k", mk_query)
+slope("descend + sparse bow + db score + top_k", mk_query)

@@ -45,7 +45,8 @@ for i in range(0, N + 1, 8):
     f = orb_mod.detect_and_compute(L[i], cfg.loop.orb_features)
     v = np.asarray(f.valid)
     descs.append(np.asarray(f.desc_sign)[v])
-voc = vocab_mod.train(np.concatenate(descs), k=9, levels=3)
+voc = vocab_mod.train_batched(np.concatenate(descs), k=cfg.loop.vocab_k,
+                              levels=cfg.loop.vocab_levels)
 
 
 def timeit(label, fn, reps=3):
