@@ -35,6 +35,24 @@ def _decode_png_gray(path: str) -> np.ndarray:
         raise RuntimeError("no PNG decoder available (PIL/torchvision)") from e
 
 
+def _decode_png_rgb(path: str) -> np.ndarray:
+    """Decode a PNG to float32 RGB (H, W, 3) in [0, 1]."""
+    try:
+        from PIL import Image  # type: ignore
+
+        img = np.asarray(Image.open(path).convert("RGB"), dtype=np.float32)
+        return img / 255.0
+    except ImportError:
+        pass
+    try:
+        import torchvision.io as tio  # type: ignore
+
+        img = tio.read_image(path, tio.ImageReadMode.RGB).numpy()
+        return img.transpose(1, 2, 0).astype(np.float32) / 255.0
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError("no PNG decoder available (PIL/torchvision)") from e
+
+
 # KITTI odometry calibration per sequence group (P0 grayscale left cam).
 _KITTI_CALIB = {
     # seqs 00-02: 1241x376
@@ -66,6 +84,9 @@ class KittiSequence:
     def __post_init__(self):
         self.dir_l = os.path.join(self.root, "sequences", self.seq, "image_0")
         self.dir_r = os.path.join(self.root, "sequences", self.seq, "image_1")
+        # image_2 = left COLOR camera (RGB map path; the reference samples
+        # per-point colors via getColors, monoUtils.h:180-193)
+        self.dir_rgb = os.path.join(self.root, "sequences", self.seq, "image_2")
         self.pose_file = os.path.join(self.root, "poses", f"{self.seq}.txt")
         self.camera = camera_for_sequence(self.seq)
         self._loaders = None
@@ -73,6 +94,18 @@ class KittiSequence:
     @property
     def available(self) -> bool:
         return os.path.isdir(self.dir_l) and os.path.isdir(self.dir_r)
+
+    @property
+    def rgb_available(self) -> bool:
+        return os.path.isdir(self.dir_rgb)
+
+    def frame_rgb(self, i: int) -> np.ndarray:
+        """(H, W, 3) float32 RGB of the left color camera (image_2);
+        grayscale replicated when the color folder is absent."""
+        if self.rgb_available:
+            return _decode_png_rgb(os.path.join(self.dir_rgb, f"{i:06d}.png"))
+        g = _decode_png_gray(os.path.join(self.dir_l, f"{i:06d}.png"))
+        return np.stack([g, g, g], axis=-1)
 
     def __len__(self) -> int:
         if not self.available:

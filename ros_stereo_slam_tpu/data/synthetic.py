@@ -143,7 +143,8 @@ class SyntheticWorld:
     ceil_y: float = 4.0
     end_z: float = 260.0
 
-    def _render_view(self, T_wc: np.ndarray, return_depth: bool):
+    def _render_view(self, T_wc: np.ndarray, return_depth: bool,
+                     return_hue: bool = False):
         """Ray-cast the static textured corridor for one camera pose."""
         cam = self.camera
         H, W = cam.height, cam.width
@@ -182,9 +183,38 @@ class SyntheticWorld:
         v2 = p[..., 1] * 47.0 + p[..., 2] * 29.0 + p[..., 0] * 5.0
         img = 0.65 * img + 0.35 * _bilinear(self.tex_near, v2 % self.tex_size, u2 % self.tex_size)
         img = img.astype(np.float32)
+        if return_hue:
+            # slowly-varying world-position hue (for the RGB render)
+            u3 = p[..., 0] * 1.7 + p[..., 2] * 2.3
+            v3 = p[..., 1] * 1.9 + p[..., 2] * 1.3
+            hue = _bilinear(
+                self.tex_far, v3 % self.tex_size, u3 % self.tex_size
+            ).astype(np.float32)
+            return img, hue
         if return_depth:
             return img, depth.astype(np.float32)
         return img
+
+    def render_rgb(self, frame: int) -> np.ndarray:
+        """Render the LEFT view in color, (H, W, 3) float32 in [0, 1].
+
+        The world's color is a smooth hue field over world position
+        modulating the same intensity texture the grayscale render uses —
+        geometry-consistent color for the RGB map path (the reference
+        samples per-point RGB via ``getColors``,
+        ``/root/reference/include/monoUtils.h:180-193``).
+        """
+        gray, hue = self._render_view(
+            self.poses[frame], return_depth=False, return_hue=True
+        )
+        # cheap HSV-ish palette: three phase-shifted cosines of the hue
+        ph = 2.0 * np.pi * hue
+        r = gray * (0.65 + 0.35 * np.cos(ph))
+        g = gray * (0.65 + 0.35 * np.cos(ph - 2.0943951))
+        b = gray * (0.65 + 0.35 * np.cos(ph + 2.0943951))
+        return np.clip(np.stack([r, g, b], axis=-1), 0.0, 1.0).astype(
+            np.float32
+        )
 
     def visible_world_points(self, frame: int, n: int, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
         """Sample n world surface points visible in `frame`'s left image.

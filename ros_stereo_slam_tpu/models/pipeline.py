@@ -77,7 +77,8 @@ class StereoOdometry:
 
     # -- public API --------------------------------------------------------
 
-    def initialize(self, left: np.ndarray, right: np.ndarray) -> FrameInfo:
+    def initialize(self, left: np.ndarray, right: np.ndarray,
+                   left_rgb: np.ndarray | None = None) -> FrameInfo:
         """Frame 0: triangulate the initial feature set (reference :22-52)."""
         self._carry = step_mod.init_carry(
             jnp.asarray(left, jnp.float32),
@@ -85,6 +86,7 @@ class StereoOdometry:
             self.grid_pts, self.grid_mask,
             jax.random.PRNGKey(self.config.seed),
             self.config,
+            left_rgb=None if left_rgb is None else jnp.asarray(left_rgb),
         )
         n = int(jnp.sum(self._carry.track.mask))
         self.trajectory.append(np.asarray(self._carry.T_wc))
@@ -95,13 +97,15 @@ class StereoOdometry:
             is_keyframe=True, tracking_ok=True, used_retry=False,
         )
 
-    def process_frame(self, left: np.ndarray, right: np.ndarray) -> FrameInfo:
+    def process_frame(self, left: np.ndarray, right: np.ndarray,
+                      left_rgb: np.ndarray | None = None) -> FrameInfo:
         """One odometry frame (single fused device dispatch)."""
         self._carry, stats = step_mod.slam_frame_step(
             self._carry,
             jnp.asarray(left, jnp.float32),
             jnp.asarray(right, jnp.float32),
             self.grid_pts, self.grid_mask, self.config,
+            left_rgb=None if left_rgb is None else jnp.asarray(left_rgb),
         )
         frame_idx = self.frame_count
         self.frame_count += 1
@@ -145,20 +149,28 @@ def run_offline(
     left_seq: np.ndarray,
     right_seq: np.ndarray,
     block: bool = True,
+    rgb_seq: np.ndarray | None = None,
 ) -> OfflineResult:
     """Run a full sequence as one scan program.
 
     left_seq/right_seq: (F, H, W) float32 stacks (frame 0 included).
+    rgb_seq: optional (F, H, W, 3) float32 or uint8 color stack — colors
+    the keyframe map points (RGB map path; uint8 keeps HBM down and is
+    cast per frame inside the scan).
     """
     grid_pts, grid_mask = _grid_for(cfg)
     l0 = jnp.asarray(left_seq[0], jnp.float32)
     r0 = jnp.asarray(right_seq[0], jnp.float32)
+    rgb0 = None if rgb_seq is None else jnp.asarray(rgb_seq[0])
     carry = step_mod.init_carry(
-        l0, r0, grid_pts, grid_mask, jax.random.PRNGKey(cfg.seed), cfg
+        l0, r0, grid_pts, grid_mask, jax.random.PRNGKey(cfg.seed), cfg,
+        left_rgb=rgb0,
     )
     ls = jnp.asarray(left_seq[1:], jnp.float32)
     rs = jnp.asarray(right_seq[1:], jnp.float32)
-    carry, stats = step_mod.run_sequence(ls, rs, carry, grid_pts, grid_mask, cfg)
+    rgbs = None if rgb_seq is None else jnp.asarray(rgb_seq[1:])
+    carry, stats = step_mod.run_sequence(ls, rs, carry, grid_pts, grid_mask,
+                                         cfg, rgb_seq=rgbs)
     if block:
         jax.block_until_ready(stats)
     traj = np.concatenate(

@@ -249,13 +249,33 @@ class PoseGraph:
         self.count = 1  # vertex 0 at identity (reference initializeGraph)
 
     def add_odometry(self, Z: jnp.ndarray):
-        """Append vertex `count` with edge (count-1 -> count)."""
+        """Append vertex `count` with edge (count-1 -> count).
+
+        Raises on capacity exhaustion: in jit an out-of-bounds scatter is
+        silently clamped/dropped, which would corrupt the last vertex on a
+        run longer than ``max_poses`` (the reference reserves 4,500,
+        ``src/VisualSLAM.cpp:37``, and would segfault-free grow instead).
+        """
+        if self.count >= self.config.max_poses:
+            raise RuntimeError(
+                f"pose-graph capacity exhausted ({self.config.max_poses} "
+                "poses); raise PGOConfig.max_poses"
+            )
         self.odo_Z = self.odo_Z.at[self.count].set(Z)
         self.count += 1
 
     def add_loop(self, i: int, j: int, Z: jnp.ndarray | None = None):
-        """Loop edge; Z defaults to identity (reference semantics)."""
-        slot = self.n_loops % self.loop_i.shape[0]
+        """Loop edge; Z defaults to identity (reference semantics).
+
+        Raises when the edge store is full instead of silently wrapping
+        the ring and overwriting the oldest loop constraint.
+        """
+        if self.n_loops >= self.loop_i.shape[0]:
+            raise RuntimeError(
+                f"loop-edge capacity exhausted ({self.loop_i.shape[0]}); "
+                "raise PGOConfig.max_loop_edges"
+            )
+        slot = self.n_loops
         self.loop_i = self.loop_i.at[slot].set(i)
         self.loop_j = self.loop_j.at[slot].set(j)
         if Z is not None:

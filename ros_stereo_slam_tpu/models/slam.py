@@ -67,6 +67,14 @@ class StereoSLAM:
 
     def _append_pose(self, T_wc: jnp.ndarray):
         f = self.frame_count
+        if f >= self.config.pgo.max_poses:
+            # In jit an OOB scatter clamps/drops silently, corrupting the
+            # last pose; fail loudly instead (add_odometry guards the same
+            # boundary, but the trajectory write happens first).
+            raise RuntimeError(
+                f"trajectory capacity exhausted ({self.config.pgo.max_poses}"
+                " poses); raise PGOConfig.max_poses"
+            )
         self.trajectory_dev = self.trajectory_dev.at[f].set(T_wc)
 
     def _detect_loop(self, left_dev: jnp.ndarray) -> loop_closure.LoopCandidate | None:
@@ -145,13 +153,15 @@ class StereoSLAM:
 
     # -- public API --------------------------------------------------------
 
-    def initialize(self, left: np.ndarray, right: np.ndarray) -> FrameInfo:
+    def initialize(self, left: np.ndarray, right: np.ndarray,
+                   left_rgb: np.ndarray | None = None) -> FrameInfo:
         cfg = self.config
         left_dev = jnp.asarray(left, jnp.float32)
         right_dev = jnp.asarray(right, jnp.float32)
         self._carry = step_mod.init_carry(
             left_dev, right_dev, self.grid_pts, self.grid_mask,
             jax.random.PRNGKey(cfg.seed), cfg,
+            left_rgb=None if left_rgb is None else jnp.asarray(left_rgb),
         )
         F = cfg.pgo.max_poses
         self.trajectory_dev = jnp.tile(jnp.eye(4, dtype=jnp.float32), (F, 1, 1))
@@ -169,15 +179,18 @@ class StereoSLAM:
         self._infos.append(info)
         return info
 
-    def process_frame(self, left: np.ndarray, right: np.ndarray) -> FrameInfo:
+    def process_frame(self, left: np.ndarray, right: np.ndarray,
+                      left_rgb: np.ndarray | None = None) -> FrameInfo:
         cfg = self.config
         left_dev = jnp.asarray(left, jnp.float32)
         right_dev = jnp.asarray(right, jnp.float32)
+        rgb_dev = None if left_rgb is None else jnp.asarray(left_rgb)
         prev_T = self._carry.T_wc
 
         # 1) fused odometry step (track + PnP + keyframe trigger on device)
         self._carry, stats = step_mod.slam_frame_step(
-            self._carry, left_dev, right_dev, self.grid_pts, self.grid_mask, cfg
+            self._carry, left_dev, right_dev, self.grid_pts, self.grid_mask,
+            cfg, left_rgb=rgb_dev,
         )
         T_wc = self._carry.T_wc
         # odometry edge for the pose graph: Z = prev^-1 cur
@@ -228,7 +241,7 @@ class StereoSLAM:
             key = jax.random.fold_in(self._carry.key, 1234)
             new_track, r_uv, r_mask = step_mod._bootstrap_track(
                 left_pyr, right_pyr, self.grid_pts, self.grid_mask,
-                T_opt, key, cfg,
+                T_opt, key, cfg, left_rgb=rgb_dev,
             )
             kf = step_mod._insert_keyframe(
                 kf, new_track, T_opt, jnp.int32(self.frame_count)

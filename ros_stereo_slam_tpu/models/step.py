@@ -139,7 +139,7 @@ def _sample_keypoints(left_pyr, grid_pts, grid_mask, cfg: PipelineConfig):
 
 def _bootstrap_track(
     left_pyr, right_pyr, grid_pts, grid_mask, T_wc, key, cfg: PipelineConfig,
-    stereo_flow=None,
+    stereo_flow=None, left_rgb=None,
 ) -> tuple[TrackState, jnp.ndarray, jnp.ndarray]:
     """Stereo LK -> F-gate -> triangulate -> SOR -> world lift (C6+C14).
 
@@ -147,6 +147,9 @@ def _bootstrap_track(
     the BA window's scale anchor.  `stereo_flow` (N, 2), if given, seeds
     the L->R match from each grid slot's last measured disparity and the
     search runs on pyramids already sliced to the seeded depth.
+    `left_rgb` (H, W, 3), if given, is the color source for map points
+    (reference ``getColors``, ``include/monoUtils.h:180-193``); otherwise
+    the grayscale intensity is replicated.
     """
     fe = cfg.frontend
     cam = _cam_of(cfg)
@@ -192,8 +195,17 @@ def _bootstrap_track(
         std_mul=kfc.sor_std_mul, max_depth=kfc.max_depth,
     )
     pts_world = lie.transform_points(T_wc, tri.points)
-    gray = interp.bilinear_at(left_pyr[0], grid_pts)
-    colors = jnp.stack([gray, gray, gray], axis=-1)
+    if left_rgb is not None:
+        rgb = left_rgb
+        if rgb.dtype == jnp.uint8:
+            rgb = rgb.astype(jnp.float32) * (1.0 / 255.0)
+        colors = jnp.stack(
+            [interp.bilinear_at(rgb[..., c], grid_pts) for c in range(3)],
+            axis=-1,
+        )
+    else:
+        gray = interp.bilinear_at(left_pyr[0], grid_pts)
+        colors = jnp.stack([gray, gray, gray], axis=-1)
     track = TrackState(pts2d=grid_pts, pts3d=pts_world, colors=colors, mask=clean)
     return track, right_pts, clean
 
@@ -285,8 +297,13 @@ def slam_frame_step(
     grid_pts: jnp.ndarray,
     grid_mask: jnp.ndarray,
     cfg: PipelineConfig,
+    left_rgb: jnp.ndarray | None = None,
 ) -> tuple[SlamCarry, FrameStats]:
-    """One complete SLAM frame, fully on device."""
+    """One complete SLAM frame, fully on device.
+
+    `left_rgb` (H, W, 3; f32 or uint8), if given, colors the points the
+    keyframe branch triangulates (the RGB map path, config 2).
+    """
     fe, pc, kfc = cfg.frontend, cfg.pnp, cfg.keyframes
     cam = _cam_of(cfg)
     key, k_f, k_pnp, k_retry, k_kf = jax.random.split(carry.key, 5)
@@ -403,7 +420,7 @@ def slam_frame_step(
             right_pyr = tuple(pyramid.build_pyramid(right_img, n_lvl))
             track, r_uv, r_mask = _bootstrap_track(
                 cur_pyr[:n_lvl], right_pyr, grid_pts, grid_mask, T_wc, k_kf,
-                cfg, stereo_flow=carry.stereo_flow,
+                cfg, stereo_flow=carry.stereo_flow, left_rgb=left_rgb,
             )
             flow = jnp.where(
                 track.mask[:, None], r_uv - grid_pts, carry.stereo_flow
@@ -411,7 +428,8 @@ def slam_frame_step(
         else:
             right_pyr = tuple(pyramid.build_pyramid(right_img, fe.lk_levels))
             track, r_uv, r_mask = _bootstrap_track(
-                cur_pyr, right_pyr, grid_pts, grid_mask, T_wc, k_kf, cfg
+                cur_pyr, right_pyr, grid_pts, grid_mask, T_wc, k_kf, cfg,
+                left_rgb=left_rgb,
             )
             flow = carry.stereo_flow
         if cfg.ba_enabled:
@@ -473,6 +491,7 @@ def init_carry(
     grid_mask: jnp.ndarray,
     key: jax.Array,
     cfg: PipelineConfig,
+    left_rgb: jnp.ndarray | None = None,
 ) -> SlamCarry:
     """Frame-0 bootstrap (reference initSequence :22-52)."""
     fe = cfg.frontend
@@ -481,7 +500,8 @@ def init_carry(
     key, k_b = jax.random.split(key)
     T0 = jnp.eye(4, dtype=jnp.float32)
     track, r_uv, r_mask = _bootstrap_track(
-        left_pyr, right_pyr, grid_pts, grid_mask, T0, k_b, cfg
+        left_pyr, right_pyr, grid_pts, grid_mask, T0, k_b, cfg,
+        left_rgb=left_rgb,
     )
     kf = KeyframeStore.empty(cfg.keyframes.max_keyframes, fe.max_points)
     kf = _insert_keyframe(kf, track, T0, jnp.int32(0))
@@ -515,11 +535,21 @@ def run_sequence(
     grid_pts: jnp.ndarray,
     grid_mask: jnp.ndarray,
     cfg: PipelineConfig,
+    rgb_seq: jnp.ndarray | None = None,  # (F, H, W, 3) f32/uint8 optional
 ) -> tuple[SlamCarry, FrameStats]:
     """The whole sequence as ONE XLA program (lax.scan over frames)."""
 
-    def body(c, imgs):
-        left, right = imgs
-        return slam_frame_step(c, left, right, grid_pts, grid_mask, cfg)
+    if rgb_seq is None:
+        def body(c, imgs):
+            left, right = imgs
+            return slam_frame_step(c, left, right, grid_pts, grid_mask, cfg)
 
-    return lax.scan(body, carry, (left_seq, right_seq))
+        return lax.scan(body, carry, (left_seq, right_seq))
+
+    def body_rgb(c, imgs):
+        left, right, rgb = imgs
+        return slam_frame_step(
+            c, left, right, grid_pts, grid_mask, cfg, left_rgb=rgb
+        )
+
+    return lax.scan(body_rgb, carry, (left_seq, right_seq, rgb_seq))

@@ -1,6 +1,7 @@
 """Pose-graph optimizer tests (oracle: constructed ground truth)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -175,3 +176,22 @@ def test_g2o_roundtrip(tmp_path):
     a = np.asarray(pg.optimize(jnp.asarray(gt_pad)))
     b = np.asarray(pg2.optimize(jnp.asarray(poses)))
     np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_capacity_exhaustion_raises():
+    """Capacity overflows must fail loudly: in jit an OOB scatter clamps or
+    drops silently, which would corrupt the newest pose / overwrite the
+    oldest loop edge on a >max_poses run."""
+    cfg = PGOConfig(max_poses=4, max_loop_edges=2)
+    pg = pose_graph.PoseGraph(cfg)
+    pg.initialize()
+    Z = jnp.eye(4, dtype=jnp.float32)
+    pg.add_odometry(Z)
+    pg.add_odometry(Z)
+    pg.add_odometry(Z)  # count == 4 == max_poses
+    with pytest.raises(RuntimeError, match="capacity"):
+        pg.add_odometry(Z)
+    pg.add_loop(3, 0)
+    pg.add_loop(3, 1)
+    with pytest.raises(RuntimeError, match="capacity"):
+        pg.add_loop(3, 2)

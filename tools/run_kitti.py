@@ -65,13 +65,16 @@ def main():
     fps = FpsMeter()
 
     with timer.stage("initialize"):
-        info = slam.initialize(*seq.frame(0))
+        l0, r0 = seq.frame(0)
+        rgb0 = seq.frame_rgb(0) if seq.rgb_available else None
+        info = slam.initialize(l0, r0, left_rgb=rgb0)
     out.log_frame(info)
     for i in range(1, n):
         with timer.stage("io"):
             left, right = seq.frame(i)
+            rgb = seq.frame_rgb(i) if seq.rgb_available else None
         with timer.stage("frame"):
-            info = slam.process_frame(left, right)
+            info = slam.process_frame(left, right, left_rgb=rgb)
         out.log_frame(info, {"fps": round(fps.tick(), 2)})
         if i % 100 == 0:
             print(f"[kitti] {i}/{n} fps={fps.fps:.1f} inl={info.n_inliers}")

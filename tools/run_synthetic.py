@@ -81,6 +81,12 @@ def main():
 
     print(f"[run] rendering {world.n_frames} frames...")
     frames = [world.render(i)[:2] for i in range(world.n_frames)]
+    # RGB source for map colors when exporting a map (config 2 — the
+    # reference ships RGB maps; getColors, monoUtils.h:180-193)
+    rgbs = (
+        [world.render_rgb(i) for i in range(world.n_frames)]
+        if cfg.export_map else [None] * world.n_frames
+    )
 
     vocab = None
     if cfg.loop.enabled:
@@ -107,11 +113,11 @@ def main():
     fps = FpsMeter()
 
     with timer.stage("initialize"):
-        info = slam.initialize(*frames[0])
+        info = slam.initialize(*frames[0], left_rgb=rgbs[0])
     out.log_frame(info)
     for i in range(1, world.n_frames):
         with timer.stage("frame"):
-            info = slam.process_frame(*frames[i])
+            info = slam.process_frame(*frames[i], left_rgb=rgbs[i])
         out.log_frame(info, {"fps": round(fps.tick(), 2)})
         if info.is_keyframe or not info.tracking_ok:
             print(f"[run] f{info.frame}: inl={info.n_inliers} "
