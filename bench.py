@@ -116,7 +116,8 @@ def main() -> None:
         descs, docs = [], []
         for i in range(0, n_total, 8):
             f = orb.detect_and_compute(
-                jnp.asarray(left_seq[i]), cfg.loop.orb_features
+                jnp.asarray(left_seq[i]), cfg.loop.orb_features,
+                n_levels=cfg.loop.orb_levels,
             )
             v = np.asarray(f.valid)
             descs.append(np.asarray(f.desc_sign)[v])

@@ -159,6 +159,12 @@ class LoopClosureConfig:
 
     enabled: bool = True
     orb_features: int = 512  # descriptors per frame (static capacity)
+    # ORB pyramid levels at factor 1.25 (the reference's cv::ORB is
+    # pyramidal — 8 levels at factor 1.2 by OpenCV default,
+    # optimizationStuff.cpp:50).  Revisits at a different distance need
+    # features detected across scales; 4 levels span 1..1.95x, covering
+    # relative scale changes up to ~1.95x between two multi-scale frames.
+    orb_levels: int = 4
     # Vocabulary geometry (reference bagOfWordsDetector.cpp:21: k=9, L=6 =
     # 531,441 words).  Read by bench.py and tools/build_vocab.py when
     # training; the detector itself takes whatever Vocabulary it is given.

@@ -80,7 +80,10 @@ class StereoSLAM:
     def _detect_loop(self, left_dev: jnp.ndarray) -> loop_closure.LoopCandidate | None:
         if self.detector is None:
             return None
-        feats = orb.detect_and_compute(left_dev, self.config.loop.orb_features)
+        feats = orb.detect_and_compute(
+            left_dev, self.config.loop.orb_features,
+            n_levels=self.config.loop.orb_levels,
+        )
         self._last_feats = feats  # kept for the PnP loop-edge measurement
         cand = self.detector.detect(self.frame_count, feats)
         if self.cooldown > 0:
@@ -167,7 +170,9 @@ class StereoSLAM:
         self.trajectory_dev = jnp.tile(jnp.eye(4, dtype=jnp.float32), (F, 1, 1))
         self.graph.initialize()
         if self.detector is not None:
-            feats = orb.detect_and_compute(left_dev, cfg.loop.orb_features)
+            feats = orb.detect_and_compute(
+                left_dev, cfg.loop.orb_features, n_levels=cfg.loop.orb_levels
+            )
             self.detector.add(0, feats)
         n = int(jnp.sum(self._carry.track.mask))
         self.keyframe_frames.append(0)

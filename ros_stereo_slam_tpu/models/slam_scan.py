@@ -115,7 +115,8 @@ def _lc_scan_step(
     lcc = cfg.loop
     n_words = idf.shape[0]
     feats = orb_mod.detect_and_compute(
-        left_img, lcc.orb_features, cfg.frontend.fast_thresh / 255.0
+        left_img, lcc.orb_features, cfg.frontend.fast_thresh / 255.0,
+        n_levels=lcc.orb_levels,
     )
     words = vocab_mod._descend(
         list(centers), feats.desc_sign, vocab_k, len(centers)

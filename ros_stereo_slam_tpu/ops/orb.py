@@ -62,11 +62,12 @@ _CENT = _centroid_offsets()
 
 
 class OrbFeatures(NamedTuple):
-    pts: jnp.ndarray  # (N, 2) xy
+    pts: jnp.ndarray  # (N, 2) xy — ALWAYS level-0 (full-res) coordinates
     angle: jnp.ndarray  # (N,) radians
     desc_bits: jnp.ndarray  # (N, 8) uint32 packed
     desc_sign: jnp.ndarray  # (N, 256) float32 in {-1, +1}
     valid: jnp.ndarray  # (N,) bool
+    octave: jnp.ndarray  # (N,) i32 pyramid level the feature was detected at
 
 
 def pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
@@ -88,23 +89,17 @@ def hamming_mxu(sa: jnp.ndarray, sb: jnp.ndarray) -> jnp.ndarray:
     return (N_BITS - dot) * 0.5
 
 
-@partial(jax.jit, static_argnames=("n_features", "backend"))
-def detect_and_compute(
-    img: jnp.ndarray,
-    n_features: int = 512,
-    fast_thresh: float | jnp.ndarray = 12.0 / 255.0,
-    backend: str = "auto",
-) -> OrbFeatures:
-    """Single-scale ORB on a [0,1] grayscale image.
+def _level_features(
+    img: jnp.ndarray, budget: int, fast_thresh, backend: str
+):
+    """Detection + description on ONE pyramid level (level coordinates).
 
-    `backend`: "auto" uses the Pallas descriptor kernel on TPU (the jnp
-    path's ~620k bilinear samples lower to near-scalar XLA gathers there,
-    ~25 ms/frame); "jnp" forces the reference path (CPU / test oracle).
+    Returns (pts, angle, packed bits, sign, valid) with `budget` rows.
     """
     h, w = img.shape
     score = fast.fast_score(img, fast_thresh)
-    cand_pts, cand_scores, cand_mask = fast.top_corners(score, 4 * n_features)
-    pts, valid = anms.anms(cand_pts, cand_scores, cand_mask, n_features)
+    cand_pts, cand_scores, cand_mask = fast.top_corners(score, 4 * budget)
+    pts, valid = anms.anms(cand_pts, cand_scores, cand_mask, budget)
     margin = PATCH // 2 + 2
     valid = valid & interp.in_bounds(pts, h, w, margin)
 
@@ -118,13 +113,7 @@ def detect_and_compute(
         angle = jnp.arctan2(m[:, 1], m[:, 0])
         bits = sign_k > 0.0
         sign = sign_k * valid[:, None]
-        return OrbFeatures(
-            pts=pts,
-            angle=angle,
-            desc_bits=pack_bits(bits & valid[:, None]),
-            desc_sign=sign,
-            valid=valid,
-        )
+        return pts, angle, pack_bits(bits & valid[:, None]), sign, valid
 
     # Orientation: intensity centroid over the circular patch.
     cent = jnp.asarray(_CENT)  # (M, 2)
@@ -147,12 +136,108 @@ def detect_and_compute(
     bits = vp < vq  # (N, 256) bool
     sign = jnp.where(bits, 1.0, -1.0).astype(jnp.float32)
     sign = sign * valid[:, None]  # invalid rows -> zero vectors
+    return pts, angle, pack_bits(bits & valid[:, None]), sign, valid
+
+
+def _level_budgets(n_features: int, n_levels: int, s: float) -> list[int]:
+    """Per-level feature budgets summing to n_features, decaying by the
+    scale factor per level (cv::ORB distributes points by the same
+    geometric series)."""
+    w = [s**-l for l in range(n_levels)]
+    tot = sum(w)
+    b = [max(int(round(n_features * x / tot)), 8) for x in w]
+    b[0] += n_features - sum(b)
+    return b
+
+
+def _resize_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) bilinear-resample matrix (pixel-center convention).
+
+    Resizing as two constant matmuls keeps the ORB pyramid on the MXU —
+    the same trick as ops/pyramid._down_matrix (XLA's gather-based resize
+    lowers to serial TPU gathers)."""
+    M = np.zeros((n_out, n_in), np.float32)
+    ratio = n_in / n_out
+    x = (np.arange(n_out) + 0.5) * ratio - 0.5
+    x0 = np.clip(np.floor(x).astype(np.int64), 0, n_in - 1)
+    x1 = np.minimum(x0 + 1, n_in - 1)
+    t = np.clip(x - x0, 0.0, 1.0).astype(np.float32)
+    M[np.arange(n_out), x0] += 1.0 - t
+    M[np.arange(n_out), x1] += t
+    return M
+
+
+@partial(jax.jit, static_argnames=("n_features", "backend", "n_levels",
+                                   "scale_factor"))
+def detect_and_compute(
+    img: jnp.ndarray,
+    n_features: int = 512,
+    fast_thresh: float | jnp.ndarray = 12.0 / 255.0,
+    backend: str = "auto",
+    n_levels: int = 1,
+    scale_factor: float = 1.25,
+) -> OrbFeatures:
+    """ORB on a [0,1] grayscale image, optionally multi-scale.
+
+    `n_levels` > 1 detects over an image pyramid with per-level downscale
+    `scale_factor` (the reference's ``cv::ORB::create()`` is pyramidal —
+    8 levels at factor 1.2 by OpenCV default,
+    ``/root/reference/src/optimizationStuff.cpp:50``).  The factor stays
+    deliberately small: binary descriptors tolerate only ~±25% scale
+    mismatch, so dyadic octaves leave a 0.5-octave dead zone exactly
+    where distance-changed revisits land (e.g. 1.5x).  Levels are
+    produced by bilinear resize expressed as two constant matmuls (MXU
+    work, no TPU gathers).  Points are reported in level-0 coordinates
+    with the detection level recorded per feature; descriptors are
+    computed on the level image, which scales the BRIEF pattern
+    implicitly.
+
+    `backend`: "auto" uses the Pallas descriptor kernel on TPU (the jnp
+    path's ~620k bilinear samples lower to near-scalar XLA gathers there,
+    ~25 ms/frame); "jnp" forces the reference path (CPU / test oracle).
+    """
+    if n_levels <= 1:
+        pts, angle, bits, sign, valid = _level_features(
+            img, n_features, fast_thresh, backend
+        )
+        return OrbFeatures(
+            pts=pts, angle=angle, desc_bits=bits, desc_sign=sign,
+            valid=valid, octave=jnp.zeros((n_features,), jnp.int32),
+        )
+
+    h, w = img.shape
+    budgets = _level_budgets(n_features, n_levels, scale_factor)
+    parts = []
+    for l, budget in enumerate(budgets):
+        s = scale_factor**l
+        if l == 0:
+            lvl_img = img
+        else:
+            hl, wl = max(int(round(h / s)), 32), max(int(round(w / s)), 32)
+            My = jnp.asarray(_resize_matrix(h, hl))
+            Mx = jnp.asarray(_resize_matrix(w, wl))
+            lvl_img = My @ img @ Mx.T
+        pts, angle, bits, sign, valid = _level_features(
+            lvl_img, budget, fast_thresh, backend
+        )
+        # pixel-center mapping back to level 0: x0 = (x_l + 0.5)*s - 0.5
+        sy = jnp.float32(h / lvl_img.shape[0])
+        sx = jnp.float32(w / lvl_img.shape[1])
+        pts0 = jnp.stack(
+            [(pts[:, 0] + 0.5) * sx - 0.5, (pts[:, 1] + 0.5) * sy - 0.5],
+            axis=1,
+        )
+        parts.append((
+            pts0, angle, bits, sign, valid,
+            jnp.full((budget,), l, jnp.int32),
+        ))
     return OrbFeatures(
-        pts=pts,
-        angle=angle,
-        desc_bits=pack_bits(bits & valid[:, None]),
-        desc_sign=sign,
-        valid=valid,
+        pts=jnp.concatenate([p[0] for p in parts]),
+        angle=jnp.concatenate([p[1] for p in parts]),
+        desc_bits=jnp.concatenate([p[2] for p in parts]),
+        desc_sign=jnp.concatenate([p[3] for p in parts]),
+        valid=jnp.concatenate([p[4] for p in parts]),
+        octave=jnp.concatenate([p[5] for p in parts]),
     )
 
 

@@ -1,0 +1,138 @@
+"""Multi-scale ORB (reference C9: cv::ORB is pyramidal,
+``/root/reference/src/optimizationStuff.cpp:50``): descriptors must keep
+matching across a ~1.5x scale change — a revisit at a different distance
+— where single-scale ORB degrades."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ros_stereo_slam_tpu.config import LoopClosureConfig
+from ros_stereo_slam_tpu.data.synthetic import _smooth_noise_2d
+from ros_stereo_slam_tpu.models import loop_closure, vocab as vocab_mod
+from ros_stereo_slam_tpu.ops import orb
+
+
+def _block_texture(shape, block, seed):
+    """Texture with ONE characteristic scale (random blocks): fractal value
+    noise is statistically self-similar across scales, so it cannot expose
+    scale sensitivity — BRIEF matches it across a 1.5x zoom even
+    single-scale."""
+    from scipy.ndimage import gaussian_filter
+
+    rng = np.random.default_rng(seed)
+    h, w = shape
+    g = rng.random((h // block + 2, w // block + 2)).astype(np.float32)
+    ys = np.arange(h) // block
+    xs = np.arange(w) // block
+    return gaussian_filter(g[ys][:, xs], 1.0).astype(np.float32)
+
+
+def _zoom(img: np.ndarray, factor: float) -> np.ndarray:
+    """Center-crop + bilinear upsample by `factor` (same output size)."""
+    h, w = img.shape
+    ch, cw = int(h / factor), int(w / factor)
+    y0, x0 = (h - ch) // 2, (w - cw) // 2
+    ys = y0 + np.linspace(0, ch - 1, h)
+    xs = x0 + np.linspace(0, cw - 1, w)
+    yy, xx = np.meshgrid(ys, xs, indexing="ij")
+    y0i = np.clip(np.floor(yy).astype(int), 0, h - 2)
+    x0i = np.clip(np.floor(xx).astype(int), 0, w - 2)
+    ty, tx = yy - y0i, xx - x0i
+    return (
+        img[y0i, x0i] * (1 - ty) * (1 - tx)
+        + img[y0i, x0i + 1] * (1 - ty) * tx
+        + img[y0i + 1, x0i] * ty * (1 - tx)
+        + img[y0i + 1, x0i + 1] * ty * tx
+    ).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def scale_pair():
+    img = _block_texture((376, 512), 7, 3)
+    return img, _zoom(img, 1.5)
+
+
+def _match_fraction(f1, f2):
+    ham = np.array(orb.hamming_mxu(f1.desc_sign, f2.desc_sign))
+    v1, v2 = np.asarray(f1.valid), np.asarray(f2.valid)
+    ham[~v1] = 999
+    ham[:, ~v2] = 999
+    best = ham.min(axis=1)
+    return float(((best < 50) & v1).sum()) / max(int(v1.sum()), 1)
+
+
+def test_multiscale_survives_scale_change(scale_pair):
+    img, zoomed = scale_pair
+    a, b = jnp.asarray(img), jnp.asarray(zoomed)
+    f1s = orb.detect_and_compute(a, 256, n_levels=1)
+    f2s = orb.detect_and_compute(b, 256, n_levels=1)
+    f1m = orb.detect_and_compute(a, 256, n_levels=4)
+    f2m = orb.detect_and_compute(b, 256, n_levels=4)
+    frac_multi = _match_fraction(f1m, f2m)
+    frac_single = _match_fraction(f1s, f2s)
+    # multi-scale must preserve materially more matches under 1.5x zoom
+    # (measured: 0.20 single vs 0.32 multi on the block texture)
+    assert frac_multi > 0.28, f"multi-scale match fraction {frac_multi:.2f}"
+    assert frac_multi > frac_single + 0.08, (frac_multi, frac_single)
+
+
+def test_octaves_and_coordinates(scale_pair):
+    img, _ = scale_pair
+    f = orb.detect_and_compute(jnp.asarray(img), 256, n_levels=4)
+    oct_ = np.asarray(f.octave)
+    valid = np.asarray(f.valid)
+    assert set(np.unique(oct_[valid])) >= {0, 1}
+    # level-0 coordinates: all valid points inside the full-res image
+    pts = np.asarray(f.pts)[valid]
+    assert (pts[:, 0] >= 0).all() and (pts[:, 0] < 512).all()
+    assert (pts[:, 1] >= 0).all() and (pts[:, 1] < 376).all()
+    # coarse-octave points land on the 2^l lattice
+    # coarse-level points map back through the pixel-center convention:
+    # x0 = (x_l + 0.5) * (w / w_l) - 0.5 for integer x_l
+    l1 = np.asarray(f.pts)[valid & (oct_ == 1)]
+    if l1.size:
+        sx = 512 / int(round(512 / 1.25))
+        back = (l1[:, 0] + 0.5) / sx - 0.5
+        np.testing.assert_allclose(back, np.round(back), atol=1e-4)
+
+
+def test_loop_detected_under_scale_change(scale_pair):
+    """A revisit viewed at ~1.5x scale must still pass BoW + geometry
+    (VERDICT r1 item 5: scale-change revisits are common on KITTI 00)."""
+    img, zoomed = scale_pair
+    # distractor frames: distinct texture statistics (varied octaves and
+    # scales, so BoW can discriminate places — same-family noise at one
+    # period makes every frame score alike regardless of detector)
+    frames = [
+        _smooth_noise_2d((376, 512), np.random.default_rng(100 + i),
+                         octaves=3 + i % 4, base_period=12 << (i % 4))
+        for i in range(8)
+    ]
+    seq = [img] + frames + [zoomed]
+    feats = [
+        orb.detect_and_compute(jnp.asarray(f), 256, n_levels=4)
+        for f in seq
+    ]
+    descs = np.concatenate(
+        [np.asarray(f.desc_sign)[np.asarray(f.valid)] for f in feats]
+    )
+    docs = np.concatenate(
+        [np.full(int(f.valid.sum()), i) for i, f in enumerate(feats)]
+    )
+    voc = vocab_mod.train(descs, k=8, levels=3, doc_ids=docs)
+    cfg = LoopClosureConfig(
+        orb_features=256, dislocal=2, min_separation=5, cooldown=3,
+        k_consistency=0, geom_min_points=12, db_capacity=64,
+        alpha=0.3, min_nss=0.001,
+    )
+    det = loop_closure.LoopDetector(vocab=voc, config=cfg)
+    hit = None
+    for i, f in enumerate(feats):
+        cand = det.detect(i, f)
+        if cand is not None:
+            hit = cand
+    assert hit is not None, "scale-change revisit not detected"
+    assert hit.query == len(seq) - 1 and hit.match == 0, (hit.query, hit.match)
+    assert hit.n_inliers >= cfg.geom_min_points

@@ -101,7 +101,8 @@ def test_scan_stats_match_streaming_detector(scan_run):
     check_frames = [20, 40, 72]
     stream = {}
     for i in range(max(check_frames) + 1):
-        feats = orb.detect_and_compute(jnp.asarray(L[i]), lcc.orb_features)
+        feats = orb.detect_and_compute(jnp.asarray(L[i]), lcc.orb_features,
+                                       n_levels=lcc.orb_levels)
         bow = det._bow_of(feats)
         if det._last is not None and i > lcc.dislocal:
             q_dense = vocab_mod.dense_of_sparse(*bow, voc.n_words)

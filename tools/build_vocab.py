@@ -27,9 +27,11 @@ def main():
     ap.add_argument("--frames", type=int, default=200)
     ap.add_argument("--stride", type=int, default=4)
     ap.add_argument("--k", type=int, default=9, help="branching (reference: 9)")
-    ap.add_argument("--levels", type=int, default=4,
-                    help="depth (reference: 6; 4 => 6561 words fits a dense "
-                         "BoW matrix for 4k frames in HBM)")
+    ap.add_argument("--levels", type=int, default=6,
+                    help="depth (reference: 6 = 531,441 words; the sparse "
+                         "BoW database scores any size in O(features))")
+    ap.add_argument("--orb_levels", type=int, default=3,
+                    help="ORB pyramid octaves (match LoopClosureConfig)")
     ap.add_argument("--features", type=int, default=512)
     ap.add_argument("--out", required=True)
     ap.add_argument("--platform", default=None)
@@ -65,7 +67,8 @@ def main():
 
     descs, docs = [], []
     for i in range(0, n, args.stride):
-        f = orb.detect_and_compute(jnp.asarray(frame(i)), args.features)
+        f = orb.detect_and_compute(jnp.asarray(frame(i)), args.features,
+                                   n_levels=args.orb_levels)
         v = np.asarray(f.valid)
         descs.append(np.asarray(f.desc_sign)[v])
         docs.append(np.full(int(v.sum()), i))

@@ -37,7 +37,8 @@ jax.block_until_ready(L)
 
 descs = []
 for i in range(0, N + 1, 8):
-    f = orb_mod.detect_and_compute(L[i], lcc.orb_features)
+    f = orb_mod.detect_and_compute(L[i], lcc.orb_features,
+                                   n_levels=lcc.orb_levels)
     v = np.asarray(f.valid)
     descs.append(np.asarray(f.desc_sign)[v])
 voc = vocab_mod.train_batched(np.concatenate(descs), k=lcc.vocab_k,
@@ -52,7 +53,8 @@ lc1, _ = slam_scan._lc_scan_step_jit(
 )
 jax.block_until_ready(lc1.db_wvals)
 
-feats0 = orb_mod.detect_and_compute(L[1], lcc.orb_features)
+feats0 = orb_mod.detect_and_compute(L[1], lcc.orb_features,
+                                    n_levels=lcc.orb_levels)
 jax.block_until_ready(feats0.desc_sign)
 
 
@@ -147,7 +149,8 @@ def mk_query(reps):
     n_words = idf.shape[0]
     # Pre-extract per-frame descriptors so the stage input varies with i
     # (i-dependent data defeats hoisting without foldable tricks).
-    fs = [orb_mod.detect_and_compute(L[j + 1], lcc.orb_features)
+    fs = [orb_mod.detect_and_compute(L[j + 1], lcc.orb_features,
+                                     n_levels=lcc.orb_levels)
           for j in range(min(N, 4))]
     signs = jnp.stack([f.desc_sign for f in fs])
     valids = jnp.stack([f.valid for f in fs])

@@ -42,7 +42,8 @@ jax.block_until_ready((L, R))
 
 descs = []
 for i in range(0, N + 1, 8):
-    f = orb_mod.detect_and_compute(L[i], cfg.loop.orb_features)
+    f = orb_mod.detect_and_compute(L[i], cfg.loop.orb_features,
+                                   n_levels=cfg.loop.orb_levels)
     v = np.asarray(f.valid)
     descs.append(np.asarray(f.desc_sign)[v])
 voc = vocab_mod.train_batched(np.concatenate(descs), k=cfg.loop.vocab_k,

@@ -96,6 +96,7 @@ def main():
         descs, docs = [], []
         for i in range(0, world.n_frames, 4):
             f = orb.detect_and_compute(jnp.asarray(frames[i][0]),
+                                       n_levels=cfg.loop.orb_levels,
                                        cfg.loop.orb_features)
             v = np.asarray(f.valid)
             descs.append(np.asarray(f.desc_sign)[v])
