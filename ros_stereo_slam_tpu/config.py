@@ -107,6 +107,16 @@ class FrontendConfig:
     # under a good disparity prior — measured); the first bootstrap (no
     # prior yet) always runs the full coarse-to-fine profile.
     lk_stereo_seeded_levels: int = 1
+    # Stereo-match gate.  The reference runs full F-matrix RANSAC on the
+    # L->R matches (FmatThresholding, src/tracking.cpp:30-43) because its
+    # code never assumes rectification — but KITTI pairs ARE rectified
+    # (the triangulation relies on it), so the epipolar geometry is known
+    # analytically: a valid match has y_l == y_r and positive disparity.
+    # "epipolar" gates on exactly that (no RANSAC, saves the 8-point
+    # hypothesis solves + (K, N) Sampson scoring in the keyframe branch);
+    # "fmat" reproduces the reference's RANSAC gate.
+    stereo_gate: str = "epipolar"
+    stereo_epipolar_tol_px: float = 1.5
     # Fundamental-matrix RANSAC gate (reference src/tracking.cpp:30-43:
     # CV_RANSAC 3.0 px, 0.99; frame2frame 8-pt 1.0 px).
     # Fixed hypothesis budget (parallel RANSAC).  128 is ~4x OpenCV's

@@ -177,11 +177,18 @@ def _bootstrap_track(
             frontend._lk_stereo_params(fe),
         )
         m = grid_mask & res.valid
-        fres = ransac.fmat_ransac(
-            key, grid_pts, res.points, m,
-            thresh_px=fe.fmat_stereo_thresh_px, iters=fe.fmat_iters,
-        )
-        m = m & fres.inliers
+        if fe.stereo_gate == "epipolar":
+            # rectified pair: the epipolar constraint is y_l == y_r with
+            # positive disparity — no RANSAC needed (see config)
+            dy = res.points[:, 1] - grid_pts[:, 1]
+            disp = grid_pts[:, 0] - res.points[:, 0]
+            m = m & (jnp.abs(dy) <= fe.stereo_epipolar_tol_px) & (disp > 0.05)
+        else:
+            fres = ransac.fmat_ransac(
+                key, grid_pts, res.points, m,
+                thresh_px=fe.fmat_stereo_thresh_px, iters=fe.fmat_iters,
+            )
+            m = m & fres.inliers
         right_pts = res.points
     tri = triangulate.triangulate_rectified(
         cam, jnp.float32(cfg.camera.baseline), grid_pts, right_pts, m,

@@ -14,6 +14,8 @@ from ros_stereo_slam_tpu.data.synthetic import small_world
 from ros_stereo_slam_tpu.models.pipeline import StereoOdometry
 from ros_stereo_slam_tpu.utils import metrics
 
+pytestmark = pytest.mark.slow  # multi-minute XLA compile; excluded from the default run (pytest.ini)
+
 
 def _run(cfg, world):
     slam = StereoOdometry(cfg)

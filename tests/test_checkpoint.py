@@ -11,6 +11,8 @@ from ros_stereo_slam_tpu.config import (
 from ros_stereo_slam_tpu.data.synthetic import small_world
 from ros_stereo_slam_tpu.models.slam import StereoSLAM
 
+pytestmark = pytest.mark.slow  # multi-minute XLA compile; excluded from the default run (pytest.ini)
+
 
 def _cfg(world):
     return preset_odometry().replace(

@@ -27,6 +27,8 @@ from ros_stereo_slam_tpu.models.slam import StereoSLAM
 from ros_stereo_slam_tpu.ops import orb
 from ros_stereo_slam_tpu.utils import metrics
 
+pytestmark = pytest.mark.slow  # multi-minute XLA compile; excluded from the default run (pytest.ini)
+
 OFFSET = 0.4  # m of lateral displacement on the revisit
 
 

@@ -6,15 +6,22 @@ the README ships an RGB KITTI-13 map)."""
 import numpy as np
 import pytest
 
+import jax
+
 import jax.numpy as jnp
 
 from ros_stereo_slam_tpu.config import FrontendConfig, preset_mapping
 from ros_stereo_slam_tpu.data.synthetic import small_world
 from ros_stereo_slam_tpu.models.pipeline import map_points_of, run_offline
 
+pytestmark = pytest.mark.slow  # multi-minute XLA compile; excluded from the default run (pytest.ini)
+
 
 @pytest.fixture(scope="module")
 def rgb_run():
+    # XLA CPU compiler aborts under heavy executable-cache pressure
+    # (see tests/test_slam_scan.py); start from a clean cache.
+    jax.clear_caches()
     n = 6
     world = small_world(n_frames=n, seed=4)
     L, R, RGB = [], [], []

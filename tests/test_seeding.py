@@ -21,6 +21,8 @@ from ros_stereo_slam_tpu.models import step as step_mod
 from ros_stereo_slam_tpu.models.pipeline import run_offline
 from ros_stereo_slam_tpu.utils import metrics
 
+pytestmark = pytest.mark.slow  # multi-minute XLA compile; excluded from the default run (pytest.ini)
+
 
 def _cfg(world, **fe_kw):
     fe = FrontendConfig(grid_step=12, max_points=1024, **fe_kw)

@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+import jax
+
 from ros_stereo_slam_tpu.config import (
     FrontendConfig,
     KeyframeConfig,
@@ -23,9 +25,14 @@ from ros_stereo_slam_tpu.models.slam import StereoSLAM
 from ros_stereo_slam_tpu.ops import orb
 from ros_stereo_slam_tpu.utils import metrics
 
+pytestmark = pytest.mark.slow  # multi-minute XLA compile; excluded from the default run (pytest.ini)
+
 
 @pytest.fixture(scope="module")
 def slam_run():
+    # XLA CPU compiler aborts under heavy executable-cache pressure
+    # (see tests/test_slam_scan.py); start from a clean cache.
+    jax.clear_caches()
     n = 80
     poses = loop_trajectory(n, radius=2.5, overlap=8)
     world = small_world(custom_poses=poses, seed=13)

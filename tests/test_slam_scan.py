@@ -28,6 +28,8 @@ from ros_stereo_slam_tpu.models import vocab as vocab_mod
 from ros_stereo_slam_tpu.ops import orb
 from ros_stereo_slam_tpu.utils import metrics
 
+pytestmark = pytest.mark.slow  # multi-minute XLA compile; excluded from the default run (pytest.ini)
+
 
 @pytest.fixture(scope="module")
 def scan_run():
