@@ -35,17 +35,19 @@ class CameraConfig:
 class FrontendConfig:
     """Dense sampling + LK tracking + gating (reference C2/C4/C5)."""
 
-    # px; the reference uses stepSize=30 (src/tracking.cpp:4-12).  Step 20
-    # (an option in its older variant, include/trangulation.h:19) tracks
-    # ~2.5x the points and cuts odometry ATE ~2x on the synthetic bench
-    # (drift averages down ~1/sqrt(N)); the TPU batches points for free
-    # until VMEM/HBM limits, so denser is the right default here.
-    grid_step: int = 20
+    # px; the reference uses stepSize=30 (src/tracking.cpp:4-12), with 20
+    # as an option in its older variant (include/trangulation.h:19).
+    # Denser grids average drift down ~1/sqrt(N) but every point rides the
+    # whole LK/PnP path; 24 (700 points on a KITTI frame) is the measured
+    # speed/accuracy knee — vs step 20 (1116 points) it runs ~15% faster
+    # end-to-end at ATE well inside the reference re-execution's envelope
+    # (tools/sweep_fast2.py: 0.138 m vs OpenCV's 0.175 m at 192 frames).
+    grid_step: int = 24
     # Static capacity for tracked points (multiple of 128).  Sized to the
-    # actual grid population: step 20 on a 1241x376 KITTI frame yields 1116
+    # actual grid population: step 24 on a 1241x376 KITTI frame yields 700
     # points; every padded slot costs full LK/RANSAC/PnP work, so keep the
     # capacity snug (shrink together with a sparser grid_step).
-    max_points: int = 1152
+    max_points: int = 768
     sampler: str = "grid"  # "grid" (reference C2) or "anms" (FAST + C3)
     # Stereo correspondence source for (re)triangulation: "lk" = dense-grid
     # epipolar LK (reference DENSE_FLAG=true, src/triangulation.cpp:87-101);
@@ -82,8 +84,18 @@ class FrontendConfig:
     lk_seeded_levels: int = 1
     # Per-level GN iterations for the SEEDED temporal track: the seed
     # starts within a few px, so fewer iterations converge (unseeded
-    # tracks keep the full lk_iters).
-    lk_seeded_iters: int = 10
+    # tracks keep the full lk_iters).  6 measures both faster AND lower-
+    # ATE than 10 on the 192-frame corridor (tools/sweep_fast.py) — the
+    # extra iterations only chase sub-eps dither.
+    lk_seeded_iters: int = 6
+    # Of those, how many run as full "walk" iterations (fresh aligned-
+    # superblock sample each step, MXU one-hot selects); the remainder run
+    # in the kernel's freeze-polish phase (one (S+3, S+3) tile at the
+    # post-walk anchor, register-level bilinear mixes — ~an order of
+    # magnitude cheaper per iteration, valid within ~±1 px of the anchor).
+    # A constant-velocity seed lands within 1-2 px, so a short walk
+    # already brings the flow inside the polish cell.
+    lk_seeded_walk_iters: int = 10
     # Rescue: if the seeded track's PnP lands under this many inliers the
     # frame re-tracks unseeded on the FULL pyramid (lax.cond — executed
     # only on distressed frames).  Catches a wrong velocity prior: the
@@ -125,6 +137,17 @@ class FrontendConfig:
     fmat_iters: int = 128
     fmat_thresh_px: float = 1.0
     fmat_stereo_thresh_px: float = 3.0
+    # Temporal-track outlier gate.  "ransac" reproduces the reference's
+    # per-frame findFundamentalMat(8pt) on the tracked pairs
+    # (src/tracking.cpp:75-84).  "none" drops it: the LK photometric
+    # residual gate + PnP-RANSAC's own 3D-2D inlier model (which the
+    # reference ALSO runs right after, rosFuncs.cpp:84) already reject
+    # the same outliers — the F-gate is redundant on this path and costs
+    # the 8-point hypothesis solves + a (K, N) Sampson scoring matmul
+    # every frame.  Measured: dropping it is faster AND slightly lower
+    # ATE on the bench corridor (tools/sweep_fast2.py), so "none" is the
+    # default; set "ransac" for reference-exact gating.
+    fmat_gate: str = "none"
     # ANMS (reference src/ANMS.cpp:18-67)
     anms_robust_coeff: float = 1.11
     fast_thresh: float = 12.0
@@ -134,10 +157,10 @@ class FrontendConfig:
 class PnPConfig:
     """PnP-RANSAC localization (reference src/rosFuncs.cpp:73-94)."""
 
-    # Parallel hypotheses (ref: 100 sequential).  Halving to 128 saves no
-    # measurable time (hypothesis scoring rides the same (K, N) matmuls),
-    # so keep the robustness margin.
-    iters: int = 256
+    # Parallel hypotheses (ref: 100 sequential).  128 still exceeds the
+    # reference's sequential budget and measures ~0.15 ms/frame cheaper
+    # than 256 at equal ATE (tools/sweep_fast.py).
+    iters: int = 128
     thresh_px: float = 1.0  # inlier gate, as the reference (rosFuncs.cpp:84)
     # Huber scale for the GN polish, TIGHTER than the gate: downweights
     # (rather than excludes) the noisier half of the inliers.  Captures the
@@ -148,7 +171,9 @@ class PnPConfig:
     refine_huber_px: float = 0.5
     retry_thresh_px: float = 8.0  # reference retry ladder rosFuncs.cpp:85-93
     min_inliers: int = 10  # below -> tracking failure (SHUTDOWN in ref)
-    refine_iters: int = 8  # Gauss-Newton polish on SE(3)
+    # Gauss-Newton polish on SE(3).  4 iterations converge (ATE-neutral
+    # vs 8, tools/sweep_fast.py) at ~0.3 ms/frame less.
+    refine_iters: int = 4
 
 
 @dataclass(frozen=True)

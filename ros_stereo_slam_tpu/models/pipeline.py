@@ -153,21 +153,25 @@ def run_offline(
 ) -> OfflineResult:
     """Run a full sequence as one scan program.
 
-    left_seq/right_seq: (F, H, W) float32 stacks (frame 0 included).
+    left_seq/right_seq: (F, H, W) float32 OR uint8 stacks (frame 0
+    included) — uint8 stages 4x more frames in HBM (the cast runs per
+    frame inside the scan; see step.slam_frame_step).
     rgb_seq: optional (F, H, W, 3) float32 or uint8 color stack — colors
     the keyframe map points (RGB map path; uint8 keeps HBM down and is
     cast per frame inside the scan).
     """
     grid_pts, grid_mask = _grid_for(cfg)
-    l0 = jnp.asarray(left_seq[0], jnp.float32)
-    r0 = jnp.asarray(right_seq[0], jnp.float32)
+    stage_dtype = (jnp.uint8 if np.asarray(left_seq).dtype == np.uint8
+                   else jnp.float32)
+    l0 = jnp.asarray(left_seq[0], stage_dtype)
+    r0 = jnp.asarray(right_seq[0], stage_dtype)
     rgb0 = None if rgb_seq is None else jnp.asarray(rgb_seq[0])
     carry = step_mod.init_carry(
         l0, r0, grid_pts, grid_mask, jax.random.PRNGKey(cfg.seed), cfg,
         left_rgb=rgb0,
     )
-    ls = jnp.asarray(left_seq[1:], jnp.float32)
-    rs = jnp.asarray(right_seq[1:], jnp.float32)
+    ls = jnp.asarray(left_seq[1:], stage_dtype)
+    rs = jnp.asarray(right_seq[1:], stage_dtype)
     rgbs = None if rgb_seq is None else jnp.asarray(rgb_seq[1:])
     carry, stats = step_mod.run_sequence(ls, rs, carry, grid_pts, grid_mask,
                                          cfg, rgb_seq=rgbs)

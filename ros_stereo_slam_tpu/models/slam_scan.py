@@ -112,6 +112,8 @@ def _lc_scan_step(
     vocab_k: int,
 ) -> tuple[LCScanState, LCScanStats]:
     """One frame of on-device detection: ORB -> sparse BoW -> query -> add."""
+    if left_img.dtype == jnp.uint8:
+        left_img = left_img.astype(jnp.float32) * (1.0 / 255.0)
     lcc = cfg.loop
     n_words = idf.shape[0]
     feats = orb_mod.detect_and_compute(
@@ -231,9 +233,10 @@ def _measure_edges_pnp(
     out = []
     from ros_stereo_slam_tpu.models import frontend as fe_mod
 
+    scale = 1.0 / 255.0 if np.asarray(left_seq).dtype == np.uint8 else 1.0
     for ci, (q, m) in enumerate(cands):
-        lq = jnp.asarray(left_seq[q], jnp.float32)
-        rq = jnp.asarray(right_seq[q], jnp.float32)
+        lq = jnp.asarray(left_seq[q], jnp.float32) * scale
+        rq = jnp.asarray(right_seq[q], jnp.float32) * scale
         lp = tuple(pyramid.build_pyramid(lq, cfg.frontend.lk_levels))
         rp = tuple(pyramid.build_pyramid(rq, cfg.frontend.lk_levels))
         qs = q % cap
@@ -265,12 +268,18 @@ def run_offline_slam(
     left_seq,
     right_seq,
 ) -> ScanSlamResult:
-    """Full SLAM over a sequence: one scan dispatch + host epilogue."""
+    """Full SLAM over a sequence: one scan dispatch + host epilogue.
+
+    `left_seq`/`right_seq` may be uint8 stacks — staged as-is (4x less
+    HBM than f32) and cast per frame inside the scan.
+    """
     from ros_stereo_slam_tpu.models.pipeline import _grid_for
 
     grid_pts, grid_mask = _grid_for(cfg)
-    l0 = jnp.asarray(left_seq[0], jnp.float32)
-    r0 = jnp.asarray(right_seq[0], jnp.float32)
+    stage_dtype = (jnp.uint8 if np.asarray(left_seq).dtype == np.uint8
+                   else jnp.float32)
+    l0 = jnp.asarray(left_seq[0], stage_dtype)
+    r0 = jnp.asarray(right_seq[0], stage_dtype)
     carry = step_mod.init_carry(
         l0, r0, grid_pts, grid_mask, jax.random.PRNGKey(cfg.seed), cfg
     )
@@ -282,8 +291,8 @@ def run_offline_slam(
         jnp.asarray(vocab.idf), cfg, vocab.k,
     )
 
-    ls = jnp.asarray(left_seq[1:], jnp.float32)
-    rs = jnp.asarray(right_seq[1:], jnp.float32)
+    ls = jnp.asarray(left_seq[1:], stage_dtype)
+    rs = jnp.asarray(right_seq[1:], stage_dtype)
     (carry, lc), (fstats, lstats) = run_sequence_slam(
         ls, rs, carry, lc0, grid_pts, grid_mask,
         tuple(vocab.centers), jnp.asarray(vocab.idf), cfg, vocab.k,

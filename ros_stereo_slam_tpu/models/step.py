@@ -310,7 +310,16 @@ def slam_frame_step(
 
     `left_rgb` (H, W, 3; f32 or uint8), if given, colors the points the
     keyframe branch triangulates (the RGB map path, config 2).
+
+    `left_img`/`right_img` may be uint8: long sequences stage 4x more
+    frames in HBM that way (a 4,096-frame KITTI-res f32 stack is ~15 GB —
+    past v5e HBM — vs 3.8 GB as uint8); the cast to the pipeline's [0, 1]
+    float range happens here, per frame, inside the scan.
     """
+    if left_img.dtype == jnp.uint8:
+        left_img = left_img.astype(jnp.float32) * (1.0 / 255.0)
+    if right_img.dtype == jnp.uint8:
+        right_img = right_img.astype(jnp.float32) * (1.0 / 255.0)
     fe, pc, kfc = cfg.frontend, cfg.pnp, cfg.keyframes
     cam = _cam_of(cfg)
     key, k_f, k_pnp, k_retry, k_kf = jax.random.split(carry.key, 5)
@@ -337,11 +346,12 @@ def slam_frame_step(
         kf_, kp_ = keys
         r = lk.track(ref_pyr, c_pyr, carry.track.pts2d, init_flow, lk_params)
         mm = carry.track.mask & r.valid
-        fr = ransac.fmat_ransac(
-            kf_, carry.track.pts2d, r.points, mm,
-            thresh_px=fe.fmat_thresh_px, iters=fe.fmat_iters,
-        )
-        mm = mm & fr.inliers
+        if fe.fmat_gate == "ransac":
+            fr = ransac.fmat_ransac(
+                kf_, carry.track.pts2d, r.points, mm,
+                thresh_px=fe.fmat_thresh_px, iters=fe.fmat_iters,
+            )
+            mm = mm & fr.inliers
         pp = pnp.pnp_ransac(
             kp_, cam, carry.track.pts3d, r.points, mm,
             thresh_px=pc.thresh_px, iters=pc.iters,
@@ -370,7 +380,10 @@ def slam_frame_step(
         n_lvl = min(fe.lk_seeded_levels, fe.lk_levels)
         pts_s, m_s, p_s = track_and_pnp(
             carry.ref_pyr[:n_lvl], cur_pyr[:n_lvl], init_flow,
-            frontend._lk_params(fe)._replace(iters=fe.lk_seeded_iters),
+            frontend._lk_params(fe)._replace(
+                iters=fe.lk_seeded_iters,
+                walk_iters=fe.lk_seeded_walk_iters,
+            ),
             jax.random.split(k_f, 2),
         )
         # Rescue: a wrong velocity prior (first frame, motion
@@ -501,6 +514,10 @@ def init_carry(
     left_rgb: jnp.ndarray | None = None,
 ) -> SlamCarry:
     """Frame-0 bootstrap (reference initSequence :22-52)."""
+    if left_img.dtype == jnp.uint8:
+        left_img = left_img.astype(jnp.float32) * (1.0 / 255.0)
+    if right_img.dtype == jnp.uint8:
+        right_img = right_img.astype(jnp.float32) * (1.0 / 255.0)
     fe = cfg.frontend
     left_pyr = tuple(pyramid.build_pyramid(left_img, fe.lk_levels))
     right_pyr = tuple(pyramid.build_pyramid(right_img, fe.lk_levels))

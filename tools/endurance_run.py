@@ -1,0 +1,172 @@
+"""Reference-scale endurance run: >= 4,000 frames, multiple loop closures.
+
+The reference loops 4,500 frames with a 4,500-entry keyframe history
+(``/root/reference/src/VisualSLAM.cpp:54,37``) and fires a loop closure
+whenever its accept rule passes (query - match > 100, cooldown 100,
+``src/optimizationStuff.cpp:59-63``).  This exercises the same regime
+end-to-end on the TPU build: a multi-lap circular trajectory (each lap
+revisits every pose of the previous one) rendered at full KITTI
+resolution, run through scan-mode full SLAM (config 3) with the
+reference-scale vocabulary (k=9, L=6) and a 4,096-frame database.
+
+Memory: frames stage as uint8 (3.8 GB for 2 x 4,097 x 376 x 1241 — an
+f32 stack would be 15.3 GB, past v5e HBM).  The lap geometry repeats
+exactly, so only the lap's unique frames are rendered and the image
+stack is tiled — the device still processes every frame individually.
+
+Writes endurance/metrics.jsonl (per-frame) + endurance/summary.json.
+
+Usage: python tools/endurance_run.py [--frames 4096] [--lap 512]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import dataclasses
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=4096,
+                    help="total frames incl. frame 0")
+    ap.add_argument("--lap", type=int, default=512,
+                    help="unique poses per lap")
+    ap.add_argument("--radius", type=float, default=20.0)
+    ap.add_argument("--out", type=str, default="endurance")
+    ap.add_argument("--scale", type=int, default=1,
+                    help="resolution divisor (1 = full KITTI res)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from ros_stereo_slam_tpu.config import (
+        CameraConfig, LoopClosureConfig, preset_loop_closure,
+    )
+    from ros_stereo_slam_tpu.data.synthetic import SyntheticWorld
+    from ros_stereo_slam_tpu.models import vocab as vocab_mod
+    from ros_stereo_slam_tpu.models.slam_scan import run_offline_slam
+    from ros_stereo_slam_tpu.ops import orb
+    from ros_stereo_slam_tpu.utils import metrics
+
+    s = args.scale
+    cam = CameraConfig(
+        fx=718.856 / s, fy=718.856 / s, cx=607.1928 / s, cy=185.2157 / s,
+        width=1241 // s, height=376 // s,
+    )
+
+    # Circular lap in the x-z plane, tangential heading; every lap
+    # revisits the previous lap's poses exactly.
+    L = args.lap
+    r = args.radius
+    lap_poses = np.zeros((L, 4, 4))
+    for i in range(L):
+        th = 2 * np.pi * i / L
+        c, sn = np.cos(th), np.sin(th)
+        lap_poses[i] = np.eye(4)
+        lap_poses[i, :3, :3] = np.array(
+            [[c, 0.0, sn], [0.0, 1.0, 0.0], [-sn, 0.0, c]])
+        lap_poses[i, :3, 3] = np.array([r * (1 - c), 0.0, r * sn])
+
+    F = args.frames
+    idx = np.arange(F) % L
+    gt_poses = lap_poses[idx]
+
+    # Big corridor so the circle (x in [0, 2r]) keeps wall clearance.
+    world = SyntheticWorld(
+        camera=cam, n_frames=L, seed=11, custom_poses=lap_poses,
+        half_w=max(3.0 * r, 18.0), end_z=max(6.0 * r, 260.0),
+    )
+    print(f"[endurance] rendering {L} unique lap frames at "
+          f"{cam.width}x{cam.height}...", flush=True)
+    t0 = time.perf_counter()
+    lefts, rights = [], []
+    for i in range(L):
+        l_im, r_im, _ = world.render(i)
+        lefts.append((l_im * 255).astype(np.uint8))
+        rights.append((r_im * 255).astype(np.uint8))
+        if i % 64 == 0:
+            print(f"  {i}/{L} ({time.perf_counter()-t0:.0f}s)", flush=True)
+    lap_left = np.stack(lefts)
+    lap_right = np.stack(rights)
+    left_seq = lap_left[idx]
+    right_seq = lap_right[idx]
+    print(f"[endurance] staged {left_seq.nbytes * 2 / 1e9:.2f} GB (uint8)",
+          flush=True)
+
+    cfg = preset_loop_closure().replace(
+        camera=cam,
+        loop=dataclasses.replace(LoopClosureConfig(), db_capacity=4096),
+    )
+
+    print("[endurance] training k=9 L=6 vocabulary...", flush=True)
+    descs, docs = [], []
+    for i in range(0, L, 8):
+        f = orb.detect_and_compute(
+            jnp.asarray(lap_left[i], jnp.float32) / 255.0,
+            cfg.loop.orb_features, n_levels=cfg.loop.orb_levels,
+        )
+        v = np.asarray(f.valid)
+        descs.append(np.asarray(f.desc_sign)[v])
+        docs.append(np.full(int(v.sum()), i))
+    voc = vocab_mod.train_batched(
+        np.concatenate(descs), k=cfg.loop.vocab_k,
+        levels=cfg.loop.vocab_levels, doc_ids=np.concatenate(docs),
+    )
+    print(f"[endurance] vocabulary: {voc.n_words} words", flush=True)
+
+    print("[endurance] running scan-mode full SLAM...", flush=True)
+    t0 = time.perf_counter()
+    res = run_offline_slam(cfg, voc, left_seq, right_seq)
+    wall = time.perf_counter() - t0
+    fps = (F - 1) / wall
+
+    ate_odo = metrics.ate_rmse(res.trajectory_odo, gt_poses)
+    ate = metrics.ate_rmse(res.trajectory, gt_poses)
+    n_kf = int(np.sum(res.is_keyframe))
+    ok_frac = float(np.mean(res.tracking_ok))
+
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "metrics.jsonl"), "w") as f:
+        for i in range(res.n_inliers.shape[0]):
+            f.write(json.dumps({
+                "frame": i + 1,
+                "n_inliers": int(res.n_inliers[i]),
+                "is_keyframe": bool(res.is_keyframe[i]),
+                "tracking_ok": bool(res.tracking_ok[i]),
+            }) + "\n")
+    summary = {
+        "frames": F,
+        "lap": L,
+        "resolution": f"{cam.width}x{cam.height}",
+        "vocab_words": voc.n_words,
+        "db_capacity": cfg.loop.db_capacity,
+        "loop_events": [[int(q), int(m), int(n)]
+                        for q, m, n in res.loop_events],
+        "n_loop_closures": len(res.loop_events),
+        "ate_rmse_odometry_m": round(float(ate_odo), 4),
+        "ate_rmse_post_pgo_m": round(float(ate), 4),
+        "n_keyframes": n_kf,
+        "tracking_ok_fraction": round(ok_frac, 4),
+        "wall_s_incl_compile": round(wall, 1),
+        "fps_incl_compile": round(fps, 2),
+        "platform": jax.devices()[0].platform,
+    }
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary, indent=2), flush=True)
+    if len(res.loop_events) < 3:
+        print("[endurance] FAIL: fewer than 3 loop closures", flush=True)
+        sys.exit(1)
+    print("[endurance] OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -26,8 +26,9 @@ from ros_stereo_slam_tpu.ops import anms, fast as fast_mod, interp, orb as orb_m
 
 R = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 N = 16
+DB_CAP = int(os.environ.get("DB_CAP", "512"))
 cfg = preset_loop_closure().replace(
-    loop=dataclasses.replace(LoopClosureConfig(), db_capacity=512)
+    loop=dataclasses.replace(LoopClosureConfig(), db_capacity=DB_CAP)
 )
 lcc = cfg.loop
 world = SyntheticWorld(camera=cfg.camera, n_frames=N + 1, seed=11, half_w=18.0)
