@@ -37,6 +37,24 @@ from ros_stereo_slam_tpu.models.step import _cam_of
 cam = _cam_of(cfg)
 
 
+# Peak per v5e chip (public): 394 TF bf16, ~98 TF f32 (MXU), used only
+# to turn XLA's own cost-analysis FLOP estimate into an MFU ballpark.
+PEAK_BF16 = 394e12
+PEAK_F32 = PEAK_BF16 / 4
+
+
+def _flops(fn, *args):
+    """XLA's cost-analysis FLOP estimate for fn(*args), or None."""
+    try:
+        c = jax.jit(fn).lower(*args).compile()
+        an = c.cost_analysis()
+        if isinstance(an, (list, tuple)):
+            an = an[0]
+        return float(an.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
 def timed(name, fn, *args, reps=20):
     out = fn(*args)
     np.asarray(jax.tree_util.tree_leaves(out)[0])
@@ -45,7 +63,15 @@ def timed(name, fn, *args, reps=20):
         out = fn(*args)
         np.asarray(jax.tree_util.tree_leaves(out)[0])
     dt = (time.perf_counter() - t0) / reps
-    print(f"{name:28s}: {dt*1e3:8.3f} ms")
+    fl = _flops(fn, *args)
+    if fl:
+        # bf16 peak where the stage's matmuls run bf16 (the LK selects),
+        # f32 otherwise — report against f32 peak as the conservative MFU.
+        mfu = fl / dt / PEAK_F32 * 100.0
+        print(f"{name:28s}: {dt*1e3:8.3f} ms  "
+              f"{fl/1e9:8.3f} GFLOP  ~{mfu:5.1f}% of f32 peak")
+    else:
+        print(f"{name:28s}: {dt*1e3:8.3f} ms")
     return out
 
 
