@@ -174,9 +174,16 @@ def mk_query(reps):
     return run
 
 
-slope("full _lc_scan_step", mk_full)
-slope("orb.detect_and_compute", mk_orb)
-slope("  FAST score only", mk_fastscore)
-slope("  FAST score + top_corners", mk_fast)
-slope("  ANMS (4*nf candidates)", mk_anms)
-slope("descend + sparse bow + db score + top_k", mk_query)
+STAGES = {
+    "full": lambda: slope("full _lc_scan_step", mk_full),
+    "orb": lambda: slope("orb.detect_and_compute", mk_orb),
+    "fastscore": lambda: slope("  FAST score only", mk_fastscore),
+    "fast": lambda: slope("  FAST score + top_corners", mk_fast),
+    "anms": lambda: slope("  ANMS (4*nf candidates)", mk_anms),
+    "query": lambda: slope("descend + sparse bow + db score + top_k",
+                           mk_query),
+}
+sel = os.environ.get("STAGES")
+for name, fn in STAGES.items():
+    if sel is None or name in sel.split(","):
+        fn()
