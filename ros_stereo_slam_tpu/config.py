@@ -216,6 +216,14 @@ class LoopClosureConfig:
     detect_every: int = 1
     dislocal: int = 20  # skip this many recent frames (detector default)
     max_db_results: int = 50
+    # Binned-shortlist query (vocab.score_db_binned): each frame's sparse
+    # BoW folds into an (n_bins,) histogram; database scoring is one
+    # (db_capacity, n_bins) bf16 MXU matvec; the top `shortlist` entries
+    # are re-scored EXACTLY (min-intersection) before the top-K /gates.
+    # The dense-row path this replaces cost ~15 ms/frame in TPU scatter+
+    # gather at the 531k-word scale, independent of db size.
+    n_bins: int = 4096
+    shortlist: int = 128
     min_nss: float = 0.005
     # removeLowScores cutoff on nss-normalized scores — ABSOLUTE, as the
     # reference (TemplatedLoopDetector.h:748; configured 0.9 with use_nss,

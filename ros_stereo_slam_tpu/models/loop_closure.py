@@ -5,15 +5,20 @@ Re-implements the vendored DLoopDetector pipeline
 the TPU way:
 
 - database scoring: DBoW2's inverted index + pointer-chasing query
-  (``:725`` ``db.query``) becomes a fixed-shape min-intersection pass over
-  a SPARSE database — each frame stores at most ``orb_features`` merged
-  (word id, TF-IDF weight) pairs; the query is scattered into one dense
-  (n_words,) row and the whole database is scored with a gather +
-  masked min-sum (:func:`vocab.score_db_sparse`).  At the reference
-  scale (k=9, L=6 = 531,441 words, 4,000-frame database,
-  ``src/bagOfWordsDetector.cpp:21``, ``include/visualSLAM.h:137``) this
-  is ~16 MB of BoW state where a dense (capacity, n_words) matrix would
-  be ~8.7 GB;
+  (``:725`` ``db.query``) becomes a two-stage fixed-shape query over a
+  SPARSE database — each frame stores at most ``orb_features`` merged
+  (word id, TF-IDF weight) pairs plus an (n_bins,) binned histogram
+  (word id mod n_bins).  Stage 1 ranks the whole database with ONE
+  (capacity, n_bins) bf16 MXU matvec (:func:`vocab.score_db_binned`);
+  stage 2 re-scores the top ``shortlist`` candidates EXACTLY
+  (min-intersection over the sparse word lists,
+  :func:`vocab.rescore_min`), so every gate below sees exact DBoW2
+  scores.  At the reference scale (k=9, L=6 = 531,441 words,
+  4,000-frame database, ``src/bagOfWordsDetector.cpp:21``,
+  ``include/visualSLAM.h:137``) this is ~50 MB of BoW state where a
+  dense (capacity, n_words) matrix would be ~8.7 GB — and unlike the
+  dense-row scatter+gather it replaced (~15 ms/frame on TPU,
+  vocabulary-size bound), the matvec rides the MXU at memory bandwidth;
 - descriptors are stored PACKED ((capacity, nf, 8) uint32, 64 MB at
   reference scale) and unpacked to MXU sign vectors only for the single
   matched frame at geometric-check time;
@@ -63,22 +68,32 @@ class LoopCandidate:
     match_inliers: np.ndarray | None = None  # (N,) bool
 
 
-@partial(jax.jit, static_argnames=("top_k",))
+@partial(jax.jit, static_argnames=("top_k", "shortlist"))
 def _query_scores(
-    q_dense: jnp.ndarray,
+    uw: jnp.ndarray,
+    uv: jnp.ndarray,
+    q_bins: jnp.ndarray,
     db_words: jnp.ndarray,
     db_wvals: jnp.ndarray,
+    db_bins: jnp.ndarray,
     db_valid: jnp.ndarray,
     max_id: jnp.ndarray,
     db_ids: jnp.ndarray,
     top_k: int,
+    shortlist: int,
 ):
-    """Sparse-db min-intersection scores; returns (top ids, top scores)."""
-    s = vocab_mod.score_db_sparse(q_dense, db_words, db_wvals)
+    """Binned-matvec shortlist + exact min-intersection rescore; returns
+    (top ids, top EXACT scores).  Same query the scan-mode step runs
+    (slam_scan._lc_scan_step) — see vocab.py's binned-shortlist notes."""
+    sdot = vocab_mod.score_db_binned(q_bins, db_bins)
     ok = db_valid & (db_ids <= max_id)
-    s = jnp.where(ok, s, -1e9)
-    vals, idx = jax.lax.top_k(s, top_k)
-    return db_ids[idx], vals
+    sdot = jnp.where(ok, sdot, -1e9)
+    C = min(shortlist, db_words.shape[0])
+    sl_scores, sl_idx = jax.lax.top_k(sdot, C)
+    s_ex = vocab_mod.rescore_min(uw, uv, db_words[sl_idx], db_wvals[sl_idx])
+    s_ex = jnp.where(sl_scores > -1e8, s_ex, -1e9)
+    vals, ti = jax.lax.top_k(s_ex, min(top_k, C))
+    return db_ids[sl_idx[ti]], vals
 
 
 @jax.jit
@@ -224,6 +239,7 @@ class LoopDetector:
         nf = self.config.orb_features
         self.db_words = jnp.zeros((cap, nf), jnp.int32)
         self.db_wvals = jnp.zeros((cap, nf), jnp.float32)
+        self.db_bins = jnp.zeros((cap, self.config.n_bins), jnp.bfloat16)
         self.db_bits = jnp.zeros((cap, nf, orb_mod.N_BITS // 32), jnp.uint32)
         self.db_pts = jnp.zeros((cap, nf, 2), jnp.float32)
         self.db_pt_valid = jnp.zeros((cap, nf), bool)
@@ -251,6 +267,9 @@ class LoopDetector:
         slot = frame_id % self.config.db_capacity
         self.db_words = self.db_words.at[slot].set(uw)
         self.db_wvals = self.db_wvals.at[slot].set(uv)
+        self.db_bins = self.db_bins.at[slot].set(
+            vocab_mod.bin_of_sparse(uw, uv, self.config.n_bins
+                                    ).astype(jnp.bfloat16))
         self.db_bits = self.db_bits.at[slot].set(feats.desc_bits)
         self.db_pts = self.db_pts.at[slot].set(feats.pts)
         self.db_pt_valid = self.db_pt_valid.at[slot].set(feats.valid)
@@ -264,13 +283,13 @@ class LoopDetector:
         uw, uv = self._bow_of(feats)
         result = None
         if self._last is not None and frame_id > cfg.dislocal:
-            q_dense = vocab_mod.dense_of_sparse(uw, uv, self.vocab.n_words)
             lw, lv = self._last
-            ns = float(vocab_mod.score_pair_sparse(q_dense, lw, lv))
+            ns = float(vocab_mod.score_pair_min(uw, uv, lw, lv))
+            q_bins = vocab_mod.bin_of_sparse(uw, uv, cfg.n_bins)
             ids_d, scores_d = _query_scores(
-                q_dense, self.db_words, self.db_wvals, self.db_valid,
-                jnp.int32(frame_id - cfg.dislocal - 1), self.db_ids,
-                cfg.max_db_results,
+                uw, uv, q_bins, self.db_words, self.db_wvals, self.db_bins,
+                self.db_valid, jnp.int32(frame_id - cfg.dislocal - 1),
+                self.db_ids, cfg.max_db_results, cfg.shortlist,
             )
             ids = np.asarray(ids_d)
             scores = np.asarray(scores_d)

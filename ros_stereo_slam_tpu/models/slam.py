@@ -322,7 +322,7 @@ class StereoSLAM:
             )
             tree["det"] = {
                 "words": d.db_words, "wvals": d.db_wvals, "bits": d.db_bits,
-                "pts": d.db_pts,
+                "bins": d.db_bins, "pts": d.db_pts,
                 "pt_valid": d.db_pt_valid, "valid": d.db_valid,
                 "ids": d.db_ids,
                 "last_words": last[0], "last_wvals": last[1],
@@ -369,6 +369,7 @@ class StereoSLAM:
             d.db_words, d.db_wvals, d.db_bits, d.db_pts = (
                 dd["words"], dd["wvals"], dd["bits"], dd["pts"]
             )
+            d.db_bins = dd["bins"]
             d.db_pt_valid, d.db_valid, d.db_ids = (
                 dd["pt_valid"], dd["valid"], dd["ids"]
             )

@@ -57,6 +57,7 @@ class LCScanState(NamedTuple):
 
     db_words: jnp.ndarray  # (cap, nf) i32 merged word ids (0-padded)
     db_wvals: jnp.ndarray  # (cap, nf) f32 L1-normalized TF-IDF weights
+    db_bins: jnp.ndarray  # (cap, n_bins) bf16 binned BoW (shortlist matvec)
     db_bits: jnp.ndarray  # (cap, nf, 8) u32 packed descriptors
     db_pts: jnp.ndarray  # (cap, nf, 2) f32
     db_pt_valid: jnp.ndarray  # (cap, nf) bool
@@ -82,6 +83,7 @@ def init_lc_state(cfg: PipelineConfig, n_words: int) -> LCScanState:
     return LCScanState(
         db_words=jnp.zeros((cap, nf), jnp.int32),
         db_wvals=jnp.zeros((cap, nf), jnp.float32),
+        db_bins=jnp.zeros((cap, cfg.loop.n_bins), jnp.bfloat16),
         db_bits=jnp.zeros((cap, nf, orb_mod.N_BITS // 32), jnp.uint32),
         db_pts=jnp.zeros((cap, nf, 2), jnp.float32),
         db_pt_valid=jnp.zeros((cap, nf), bool),
@@ -93,8 +95,13 @@ def init_lc_state(cfg: PipelineConfig, n_words: int) -> LCScanState:
     )
 
 
+def _top_k_count(lcc) -> int:
+    """Top-K emitted per frame: can't exceed the shortlist or the db."""
+    return min(lcc.max_db_results, lcc.shortlist, lcc.db_capacity)
+
+
 def _null_stats(cfg: PipelineConfig) -> LCScanStats:
-    k = cfg.loop.max_db_results
+    k = _top_k_count(cfg.loop)
     return LCScanStats(
         top_ids=jnp.full((k,), -1, jnp.int32),
         top_scores=jnp.full((k,), -1e9, jnp.float32),
@@ -124,20 +131,29 @@ def _lc_scan_step(
         list(centers), feats.desc_sign, vocab_k, len(centers)
     )
     uw, uv = vocab_mod.bow_sparse(words, feats.valid, idf, n_words)
-    q_dense = vocab_mod.dense_of_sparse(uw, uv, n_words)
+    q_bins = vocab_mod.bin_of_sparse(uw, uv, lcc.n_bins)
 
-    ns = vocab_mod.score_pair_sparse(q_dense, lc.last_words, lc.last_wvals)
-    # db query masked to entries dated <= frame_id - dislocal - 1
-    s = vocab_mod.score_db_sparse(q_dense, lc.db_words, lc.db_wvals)
+    ns = vocab_mod.score_pair_min(uw, uv, lc.last_words, lc.last_wvals)
+    # Shortlist by binned MXU matvec, masked to entries dated
+    # <= frame_id - dislocal - 1, then EXACT min-intersection rescore of
+    # the shortlist — the gates see exact scores (see vocab.py).
+    sdot = vocab_mod.score_db_binned(q_bins, lc.db_bins)
     ok = lc.db_valid & (lc.db_ids <= frame_id - lcc.dislocal - 1)
-    s = jnp.where(ok, s, -1e9)
-    top_scores, top_idx = lax.top_k(s, lcc.max_db_results)
-    top_ids = jnp.where(top_scores > -1e8, lc.db_ids[top_idx], -1)
+    sdot = jnp.where(ok, sdot, -1e9)
+    C = min(lcc.shortlist, lcc.db_capacity)
+    sl_scores, sl_idx = lax.top_k(sdot, C)
+    s_ex = vocab_mod.rescore_min(
+        uw, uv, lc.db_words[sl_idx], lc.db_wvals[sl_idx]
+    )
+    s_ex = jnp.where(sl_scores > -1e8, s_ex, -1e9)
+    top_scores, ti = lax.top_k(s_ex, _top_k_count(lcc))
+    top_ids = jnp.where(top_scores > -1e8, lc.db_ids[sl_idx[ti]], -1)
 
     slot = frame_id % lcc.db_capacity
     lc = lc._replace(
         db_words=lc.db_words.at[slot].set(uw),
         db_wvals=lc.db_wvals.at[slot].set(uv),
+        db_bins=lc.db_bins.at[slot].set(q_bins.astype(jnp.bfloat16)),
         db_bits=lc.db_bits.at[slot].set(feats.desc_bits),
         db_pts=lc.db_pts.at[slot].set(feats.pts),
         db_pt_valid=lc.db_pt_valid.at[slot].set(feats.valid),

@@ -263,18 +263,25 @@ def train_batched(
 
 
 def _descend(centers: list, desc_sign: jnp.ndarray, k: int, upto: int) -> jnp.ndarray:
-    """Shared argmax-descent: returns node ids at level `upto`."""
+    """Shared argmax-descent: returns node ids at level `upto`.
+
+    Each level gathers ONE contiguous (k, 256) child block per descriptor
+    (a sibling group is k*256 adjacent bytes) — k separate row gathers
+    per descriptor lower to k x more TPU gather descriptors for the same
+    bytes.  The dots run on the MXU in bf16: sign vectors are {-1,+1} and
+    a 256-bit dot is an even integer in [-256, 256], exactly representable
+    in bf16, so the argmax is bit-identical to the f32 path.
+    """
     n = desc_sign.shape[0]
     node = jnp.zeros((n,), jnp.int32)
+    q = desc_sign.astype(jnp.bfloat16)
     for l in range(upto):
-        tbl = centers[l]  # (k^(l+1), 256) int8
-        child0 = node * k
-        idx = child0[:, None] + jnp.arange(k)[None, :]  # (N, k)
-        cand = tbl[idx].astype(jnp.float32)  # (N, k, 256)
-        dots = jnp.einsum("nd,nkd->nk", desc_sign, cand,
+        tbl = centers[l].reshape(-1, k, N_BITS)  # (k^l, k, 256) int8
+        cand = tbl[node].astype(jnp.bfloat16)  # (N, k, 256)
+        dots = jnp.einsum("nd,nkd->nk", q, cand,
                           preferred_element_type=jnp.float32)
         best = jnp.argmax(dots, axis=1).astype(jnp.int32)
-        node = child0 + best
+        node = node * k + best
     return node
 
 
@@ -321,18 +328,22 @@ def bow_sparse(
     """
     n = words.shape[0]
     w = jnp.where(valid, idf[words], 0.0)
-    safe_words = jnp.where(valid, words, 0)
-    # merge duplicates through a transient dense row
-    dense = jnp.zeros((n_words,), jnp.float32).at[safe_words].add(w)
     big = jnp.iinfo(jnp.int32).max
     order = jnp.argsort(jnp.where(valid, words, big))
     sw = words[order]
     sv = valid[order]
+    svw = jnp.where(sv, w[order], 0.0)
     first = sv & jnp.concatenate(
         [jnp.ones((1,), bool), sw[1:] != sw[:-1]]
     )
+    # duplicate-merge via an (n,)-wide segment sum over sorted runs — a
+    # transient dense (n_words,) row would cost a 531k-row TPU scatter
+    # at the reference scale.  Invalid rows sort to the tail with zero
+    # weight; an all-invalid frame keeps seg at -1 and produces zeros.
+    seg = jnp.maximum(jnp.cumsum(first.astype(jnp.int32)) - 1, 0)
+    sums = jnp.zeros((n,), jnp.float32).at[seg].add(svw)
     uw = jnp.where(first, sw, 0)
-    uv = jnp.where(first, dense[uw], 0.0)
+    uv = jnp.where(first, sums[seg], 0.0)
     norm = jnp.sum(uv)
     return uw, uv / jnp.maximum(norm, 1e-12)
 
@@ -360,3 +371,64 @@ def score_db_sparse(
 def score_pair_sparse(q_dense: jnp.ndarray, w: jnp.ndarray, v: jnp.ndarray):
     """Min-intersection score of a dense query row vs ONE sparse row."""
     return jnp.sum(jnp.minimum(q_dense[w], v))
+
+
+# -- binned shortlist + exact rescore (the TPU-fast query) -----------------
+#
+# Profiling the scan-mode detector at reference scale (tools/
+# profile_lc_micro.py, TPU v5e) put ~15.0 ms of the 17.9 ms detection
+# step in the dense-row construction + database gather: a scatter of 512
+# weights into a (531441,) row and an elementwise gather back lower to
+# near-serial TPU code whose cost is independent of database size.  The
+# MXU-native replacement never materializes the vocabulary axis:
+#
+#   1. each frame's sparse BoW is folded into a fixed (n_bins,) histogram
+#      (word id mod n_bins) — a scatter into 4096 lanes, not 531k;
+#   2. the database keeps a (capacity, n_bins) bf16 matrix of those
+#      histograms: scoring is ONE matvec on the MXU (~33 MB read);
+#   3. the binned dot is only a shortlist ranking — the top `shortlist`
+#      candidates are re-scored EXACTLY (min-intersection over the sparse
+#      word lists, an equality-mask reduction) and the final top-K comes
+#      from the exact scores, so the nss/alpha/island gates see the same
+#      numbers the dense-oracle path produces.
+#
+# Bin collisions (531k -> 4096) only perturb the shortlist ordering; with
+# ~300 unique words/frame a bin holds ~0.07 words, and the exact rescore
+# repairs any inflation before the gates.
+
+
+def bin_of_sparse(uw: jnp.ndarray, uv: jnp.ndarray, n_bins: int) -> jnp.ndarray:
+    """Sparse BoW -> (n_bins,) binned histogram (word id mod n_bins).
+
+    Padding rows are (word 0, weight 0) — they land in bin 0 with zero
+    mass."""
+    return jnp.zeros((n_bins,), jnp.float32).at[uw % n_bins].add(uv)
+
+
+def score_db_binned(q_bins: jnp.ndarray, db_bins: jnp.ndarray) -> jnp.ndarray:
+    """Shortlist scores: one (capacity, n_bins) @ (n_bins,) bf16 matvec."""
+    return (db_bins.astype(jnp.bfloat16) @ q_bins.astype(jnp.bfloat16)
+            ).astype(jnp.float32)
+
+
+def score_pair_min(uw, uv, w, v) -> jnp.ndarray:
+    """Exact min-intersection of two sparse rows (no dense row needed).
+
+    Both rows carry merged-unique word ids with zero-weight padding, so
+    the (nf, nf) equality mask pairs each shared word exactly once and
+    padding contributes min(0, .) = 0.
+    """
+    eq = w[:, None] == uw[None, :]
+    m = jnp.minimum(v[:, None], uv[None, :])
+    return jnp.sum(jnp.where(eq, m, 0.0))
+
+
+def rescore_min(uw, uv, cw, cv) -> jnp.ndarray:
+    """Exact min-intersection of the query vs C candidate sparse rows.
+
+    (C, nf, nf) equality-mask reduction — VPU work that XLA fuses without
+    materializing the cube (C=128, nf=512 -> 33M lanes/frame).
+    """
+    eq = cw[:, :, None] == uw[None, None, :]
+    m = jnp.minimum(cv[:, :, None], uv[None, None, :])
+    return jnp.sum(jnp.where(eq, m, 0.0), axis=(1, 2))

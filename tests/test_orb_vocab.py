@@ -230,6 +230,95 @@ def test_sparse_scoring_at_reference_vocab_scale():
     np.testing.assert_allclose(got, oracle, atol=1e-6)
 
 
+def test_pair_min_matches_dense_oracle(trained_vocab):
+    """score_pair_min (pure sparse, no dense row) == dense L1 pair score,
+    including merged duplicates and zero-weight padding on BOTH sides."""
+    voc, descs, _ = trained_vocab
+    idf = jnp.asarray(voc.idf)
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(4):
+        w = vocab_mod.transform_words(
+            voc, jnp.asarray(descs[i * 40 : i * 40 + 40])
+        )
+        valid = jnp.asarray(rng.random(40) > 0.3)
+        rows.append(vocab_mod.bow_sparse(w, valid, idf, voc.n_words))
+    for i in range(4):
+        for j in range(4):
+            q_dense = vocab_mod.dense_of_sparse(*rows[i], voc.n_words)
+            want = float(vocab_mod.score_pair_sparse(q_dense, *rows[j]))
+            got = float(vocab_mod.score_pair_min(*rows[i], *rows[j]))
+            np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_binned_shortlist_rescore_matches_dense_oracle(trained_vocab):
+    """Binned-matvec shortlist + rescore_min == exact dense db scoring
+    whenever the shortlist covers the database (the regime every gate
+    depends on: exact scores for everything that survives the shortlist)."""
+    voc, descs, _ = trained_vocab
+    idf = jnp.asarray(voc.idf)
+    rng = np.random.default_rng(13)
+    rows = []
+    for i in range(8):
+        w = vocab_mod.transform_words(
+            voc, jnp.asarray(descs[(i * 37) % 400 : (i * 37) % 400 + 40])
+        )
+        valid = jnp.asarray(rng.random(40) > 0.25)
+        rows.append(vocab_mod.bow_sparse(w, valid, idf, voc.n_words))
+    q = rows[0]
+    db_words = jnp.stack([r[0] for r in rows])
+    db_wvals = jnp.stack([r[1] for r in rows])
+    q_dense = vocab_mod.dense_of_sparse(*q, voc.n_words)
+    oracle = np.asarray(vocab_mod.score_db_sparse(q_dense, db_words, db_wvals))
+    # shortlist covering the whole db -> rescore must reproduce every score
+    n_bins = 32
+    q_bins = vocab_mod.bin_of_sparse(*q, n_bins)
+    db_bins = jnp.stack(
+        [vocab_mod.bin_of_sparse(*r, n_bins) for r in rows]
+    ).astype(jnp.bfloat16)
+    sdot = np.asarray(vocab_mod.score_db_binned(q_bins, db_bins))
+    order = np.argsort(-sdot)
+    got = np.asarray(
+        vocab_mod.rescore_min(*q, db_words[order], db_wvals[order])
+    )
+    np.testing.assert_allclose(got, oracle[order], atol=1e-5)
+    # the binned ranking must put the self-match (exact score 1.0) first —
+    # the property the shortlist relies on: strong matches share many
+    # words, so their binned histograms correlate strongly.
+    assert order[0] == 0
+
+
+def test_rescore_min_at_reference_vocab_scale():
+    """rescore_min at 531,441 words: exact vs host dict oracle, no dense
+    row anywhere (the production query path after the binned shortlist)."""
+    n_words = 9**6
+    nf = 64
+    cap = 12
+    rng = np.random.default_rng(17)
+    db_words = rng.integers(1, n_words, (cap, nf)).astype(np.int32)
+    q_words = rng.integers(1, n_words, (nf,)).astype(np.int32)
+    db_words[2, :24] = q_words[:24]
+    db_words[9, 30:50] = q_words[30:50]
+    db_vals = rng.random((cap, nf)).astype(np.float32)
+    db_vals /= db_vals.sum(axis=1, keepdims=True)
+    q_vals = rng.random((nf,)).astype(np.float32)
+    q_vals /= q_vals.sum()
+    qd = {int(w): float(v) for w, v in zip(q_words, q_vals)}
+    oracle = np.asarray([
+        sum(
+            min(qd[int(w)], float(v))
+            for w, v in zip(db_words[c], db_vals[c])
+            if int(w) in qd
+        )
+        for c in range(cap)
+    ], np.float32)
+    got = np.asarray(vocab_mod.rescore_min(
+        jnp.asarray(q_words), jnp.asarray(q_vals),
+        jnp.asarray(db_words), jnp.asarray(db_vals),
+    ))
+    np.testing.assert_allclose(got, oracle, atol=1e-6)
+
+
 def test_vocab_save_load(trained_vocab, tmp_path):
     voc, descs, _ = trained_vocab
     path = str(tmp_path / "voc.npz")

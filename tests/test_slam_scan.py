@@ -109,10 +109,11 @@ def test_scan_stats_match_streaming_detector(scan_run):
         if det._last is not None and i > lcc.dislocal:
             q_dense = vocab_mod.dense_of_sparse(*bow, voc.n_words)
             ns = float(vocab_mod.score_pair_sparse(q_dense, *det._last))
+            q_bins = vocab_mod.bin_of_sparse(*bow, lcc.n_bins)
             ids_d, sc_d = lc_mod._query_scores(
-                q_dense, det.db_words, det.db_wvals, det.db_valid,
-                jnp.int32(i - lcc.dislocal - 1), det.db_ids,
-                lcc.max_db_results,
+                *bow, q_bins, det.db_words, det.db_wvals, det.db_bins,
+                det.db_valid, jnp.int32(i - lcc.dislocal - 1), det.db_ids,
+                lcc.max_db_results, lcc.shortlist,
             )
             stream[i] = (ns, np.asarray(ids_d), np.asarray(sc_d))
         det.add(i, feats, bow)

@@ -174,8 +174,119 @@ def mk_query(reps):
     return run
 
 
+def _query_inputs():
+    fs = [orb_mod.detect_and_compute(L[j + 1], lcc.orb_features,
+                                     n_levels=lcc.orb_levels)
+          for j in range(min(N, 4))]
+    signs = jnp.stack([f.desc_sign for f in fs])
+    valids = jnp.stack([f.valid for f in fs])
+    words = jnp.stack([
+        vocab_mod._descend(list(centers), s, voc.k, len(centers))
+        for s in signs
+    ])
+    n_words = idf.shape[0]
+    uws, uvs = [], []
+    for j in range(words.shape[0]):
+        uw, uv = vocab_mod.bow_sparse(words[j], valids[j], idf, n_words)
+        uws.append(uw)
+        uvs.append(uv)
+    return signs, valids, words, jnp.stack(uws), jnp.stack(uvs)
+
+
+def mk_descend(reps):
+    signs, valids, _, _, _ = _query_inputs()
+
+    @jax.jit
+    def run():
+        def body(c, i):
+            w = vocab_mod._descend(
+                list(centers), signs[i % signs.shape[0]], voc.k, len(centers)
+            )
+            return c + w[0], 0.0
+        c, _ = lax.scan(body, jnp.int32(0), jnp.arange(reps))
+        return c
+    return run
+
+
+def mk_bow(reps):
+    _, valids, words, _, _ = _query_inputs()
+    n_words = idf.shape[0]
+
+    @jax.jit
+    def run():
+        def body(c, i):
+            uw, uv = vocab_mod.bow_sparse(
+                words[i % words.shape[0]], valids[i % words.shape[0]],
+                idf, n_words
+            )
+            return c + uv[0], 0.0
+        c, _ = lax.scan(body, jnp.float32(0), jnp.arange(reps))
+        return c
+    return run
+
+
+def mk_score(reps):
+    _, _, _, uws, uvs = _query_inputs()
+    n_words = idf.shape[0]
+
+    @jax.jit
+    def run():
+        def body(c, i):
+            j = i % uws.shape[0]
+            q_dense = vocab_mod.dense_of_sparse(uws[j], uvs[j], n_words)
+            s = vocab_mod.score_db_sparse(q_dense, lc1.db_words, lc1.db_wvals)
+            return c + s[0], 0.0
+        c, _ = lax.scan(body, jnp.float32(0), jnp.arange(reps))
+        return c
+    return run
+
+
+def mk_topk(reps):
+    _, _, _, uws, uvs = _query_inputs()
+    n_words = idf.shape[0]
+    q_dense = vocab_mod.dense_of_sparse(uws[0], uvs[0], n_words)
+    s0 = vocab_mod.score_db_sparse(q_dense, lc1.db_words, lc1.db_wvals)
+
+    @jax.jit
+    def run():
+        def body(c, i):
+            ts, ti = lax.top_k(s0 + c, lcc.max_db_results)
+            return c + ts[0], 0.0
+        c, _ = lax.scan(body, jnp.float32(0), jnp.arange(reps))
+        return c
+    return run
+
+
+def mk_query_binned(reps):
+    """The production two-stage query: binned MXU matvec shortlist +
+    exact min-intersection rescore (replaces mk_query's dense path)."""
+    _, _, _, uws, uvs = _query_inputs()
+
+    @jax.jit
+    def run():
+        def body(c, i):
+            j = i % uws.shape[0]
+            q_bins = vocab_mod.bin_of_sparse(uws[j], uvs[j], lcc.n_bins)
+            sdot = vocab_mod.score_db_binned(q_bins, lc1.db_bins)
+            C = min(lcc.shortlist, lcc.db_capacity)
+            sl_scores, sl_idx = lax.top_k(sdot, C)
+            s_ex = vocab_mod.rescore_min(
+                uws[j], uvs[j], lc1.db_words[sl_idx], lc1.db_wvals[sl_idx]
+            )
+            ts, ti = lax.top_k(s_ex, min(lcc.max_db_results, C))
+            return c + ts[0], 0.0
+        c, _ = lax.scan(body, jnp.float32(0), jnp.arange(reps))
+        return c
+    return run
+
+
 STAGES = {
     "full": lambda: slope("full _lc_scan_step", mk_full),
+    "qbinned": lambda: slope("binned query (matvec+rescore)", mk_query_binned),
+    "descend": lambda: slope("  vocab descend (6 levels)", mk_descend),
+    "bow": lambda: slope("  bow_sparse (argsort+scatter)", mk_bow),
+    "score": lambda: slope("  dense scatter + db gather-min-sum", mk_score),
+    "topk": lambda: slope("  top_k(db_cap, max_db_results)", mk_topk),
     "orb": lambda: slope("orb.detect_and_compute", mk_orb),
     "fastscore": lambda: slope("  FAST score only", mk_fastscore),
     "fast": lambda: slope("  FAST score + top_corners", mk_fast),
