@@ -96,6 +96,11 @@ class SlamCarry(NamedTuple):
     # Previous inter-frame motion T_{t-1}^w^-1 @ T_t^w — the constant-
     # velocity prior that seeds the temporal LK track (lk_seed config).
     dT: jnp.ndarray | None = None  # (4, 4)
+    # False until one real inter-frame motion has been measured: the
+    # bootstrap dT is identity, which seeds ZERO flow — the shallow seeded
+    # track underconverges on it (measured 0.065 m vs 0.004 m first-step
+    # error), so a cold prior routes through the full-pyramid rescue.
+    dT_valid: jnp.ndarray | None = None  # () bool
     # Last measured L->R flow per (static) grid slot — the disparity prior
     # that seeds the keyframe branch's stereo re-match.
     stereo_flow: jnp.ndarray | None = None  # (N, 2)
@@ -401,7 +406,7 @@ def slam_frame_step(
             )
 
         tracked_pts, m, p = lax.cond(
-            p_s.n_inliers < fe.lk_rescue_min_inliers,
+            (p_s.n_inliers < fe.lk_rescue_min_inliers) | ~carry.dT_valid,
             rescue,
             lambda: (pts_s, m_s, p_s),
         )
@@ -478,8 +483,10 @@ def slam_frame_step(
         # failure (the held pose would otherwise zero the prior and strand
         # the next frame's seed).
         dT_new = jnp.where(tracking_ok, lie.inv_se3(carry.T_wc) @ T_wc, carry.dT)
+        dT_valid_new = carry.dT_valid | tracking_ok
     else:
         dT_new = None
+        dT_valid_new = None
     new_carry = SlamCarry(
         track=new_track,
         T_wc=T_wc,
@@ -489,6 +496,7 @@ def slam_frame_step(
         frame_idx=carry.frame_idx + 1,
         ba=new_ba,
         dT=dT_new,
+        dT_valid=dT_valid_new,
         stereo_flow=new_flow,
     )
     stats = FrameStats(
@@ -547,6 +555,7 @@ def init_carry(
         track=track, T_wc=T0, keyframes=kf, ref_pyr=ref_keep,
         key=key, frame_idx=jnp.int32(1), ba=ba,
         dT=jnp.eye(4, dtype=jnp.float32),
+        dT_valid=jnp.bool_(False),
         stereo_flow=stereo_flow,
     )
 
