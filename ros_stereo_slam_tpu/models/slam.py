@@ -45,6 +45,12 @@ class StereoSLAM:
 
     config: PipelineConfig
     vocab: vocab_mod.Vocabulary | None = None
+    # Optional 1-D device mesh: when given (size > 1) the keyframe/map
+    # store lives sharded over it — each device holds K/D cloud blocks
+    # (SURVEY §2 P2, the reference's keyFrameHistory/mapHistory vectors
+    # scaled out; parallel/dist_map.py) and the post-LC map rewrite runs
+    # block-local per device.
+    mesh: object | None = None
     frame_count: int = field(init=False, default=0)
 
     def __post_init__(self):
@@ -166,6 +172,14 @@ class StereoSLAM:
             jax.random.PRNGKey(cfg.seed), cfg,
             left_rgb=None if left_rgb is None else jnp.asarray(left_rgb),
         )
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            from ros_stereo_slam_tpu.parallel import dist_map
+
+            self._carry = self._carry._replace(
+                keyframes=dist_map.shard_keyframes(
+                    self.mesh, self._carry.keyframes
+                )
+            )
         F = cfg.pgo.max_poses
         self.trajectory_dev = jnp.tile(jnp.eye(4, dtype=jnp.float32), (F, 1, 1))
         self.graph.initialize()
@@ -221,9 +235,16 @@ class StereoSLAM:
             new_poses = self.graph.optimize(old_poses)
             # keyframe clouds + poses follow the corrected trajectory
             kf = self._carry.keyframes
-            new_points = pose_graph.rewrite_points(
-                kf.points, kf.frame_idx, old_poses, new_poses
-            )
+            if self.mesh is not None and self.mesh.devices.size > 1:
+                from ros_stereo_slam_tpu.parallel import dist_map
+
+                new_points = dist_map.rewrite_points_sharded(
+                    self.mesh, kf.points, kf.frame_idx, old_poses, new_poses
+                )
+            else:
+                new_points = pose_graph.rewrite_points(
+                    kf.points, kf.frame_idx, old_poses, new_poses
+                )
             kf = kf._replace(
                 points=new_points,
                 poses=new_poses[kf.frame_idx],

@@ -180,3 +180,96 @@ def test_chain_sharded_pgo_reference_scale(mesh8):
     # measured: temp 0.57 MB vs 2.62 MB, args 74 KB vs 332 KB (8 devices)
     assert m_chain.temp_size_in_bytes < 0.5 * m_edge.temp_size_in_bytes
     assert m_chain.argument_size_in_bytes < 0.5 * m_edge.argument_size_in_bytes
+
+
+def test_rewrite_points_sharded_matches_single(mesh8):
+    """Post-PGO map rewrite with the keyframe axis sharded (P2: map-block
+    home shards) == single-device rewrite, and each device addresses only
+    K/D blocks."""
+    from ros_stereo_slam_tpu.parallel import dist_map
+
+    rng = np.random.default_rng(23)
+    K, Pn, F = 16, 64, 32
+    points = jnp.asarray(rng.normal(0, 5, (K, Pn, 3)).astype(np.float32))
+    kf_idx = jnp.asarray(rng.integers(0, F, (K,)).astype(np.int32))
+    old = np.tile(np.eye(4, dtype=np.float32), (F, 1, 1))
+    old[:, 2, 3] = np.arange(F)
+    new = old.copy()
+    new[:, 0, 3] += rng.normal(0, 0.5, F).astype(np.float32)
+    new[:, 2, 3] += rng.normal(0, 0.2, F).astype(np.float32)
+    old, new = jnp.asarray(old), jnp.asarray(new)
+
+    want = pg_mod.rewrite_points(points, kf_idx, old, new)
+    pts_sh = jax.device_put(
+        points, jax.sharding.NamedSharding(
+            mesh8, jax.sharding.PartitionSpec("shard"))
+    )
+    idx_sh = jax.device_put(
+        kf_idx, jax.sharding.NamedSharding(
+            mesh8, jax.sharding.PartitionSpec("shard"))
+    )
+    got = dist_map.rewrite_points_sharded(mesh8, pts_sh, idx_sh, old, new)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    # home-shard residency: one device addresses K/8 blocks
+    shard0 = got.addressable_shards[0]
+    assert shard0.data.shape[0] == K // 8
+
+
+def test_sharded_keyframe_store_roundtrip(mesh8):
+    """shard_keyframes places every keyframe-axis leaf at K/D per device;
+    gather_keyframes restores the full store bit-exactly."""
+    from ros_stereo_slam_tpu.models.state import KeyframeStore
+    from ros_stereo_slam_tpu.parallel import dist_map
+
+    rng = np.random.default_rng(29)
+    kf = KeyframeStore.empty(16, 32)
+    kf = kf._replace(
+        points=jnp.asarray(rng.normal(0, 1, (16, 32, 3)).astype(np.float32)),
+        valid=jnp.asarray(rng.random(16) > 0.5),
+        count=jnp.int32(9),
+    )
+    sh = dist_map.shard_keyframes(mesh8, kf)
+    assert sh.points.addressable_shards[0].data.shape[0] == 2
+    assert sh.valid.addressable_shards[0].data.shape[0] == 2
+    back = dist_map.gather_keyframes(sh)
+    np.testing.assert_array_equal(back.points, np.asarray(kf.points))
+    np.testing.assert_array_equal(back.valid, np.asarray(kf.valid))
+    assert int(back.count) == 9
+    with pytest.raises(ValueError):
+        dist_map.shard_keyframes(mesh8, KeyframeStore.empty(12, 8))
+
+
+@pytest.mark.slow
+def test_live_slam_sharded_map_matches_single(mesh8):
+    """The LIVE KeyframeStore sharded over the mesh (StereoSLAM(mesh=...)):
+    same trajectory as the single-device run, map blocks resident K/D per
+    device throughout the streaming loop."""
+    from ros_stereo_slam_tpu.config import (
+        FrontendConfig, KeyframeConfig, preset_odometry,
+    )
+    from ros_stereo_slam_tpu.data.synthetic import small_world
+    from ros_stereo_slam_tpu.models.slam import StereoSLAM
+
+    world = small_world(n_frames=8, seed=5)
+    cfg = preset_odometry().replace(
+        camera=world.camera,
+        frontend=FrontendConfig(grid_step=12, max_points=1024),
+        keyframes=KeyframeConfig(max_keyframes=16, min_pnp_inliers=150,
+                                 map_block_points=1024),
+    )
+    frames = [world.render(i)[:2] for i in range(8)]
+
+    def run(mesh):
+        slam = StereoSLAM(config=cfg, mesh=mesh)
+        slam.initialize(*frames[0])
+        traj = [np.eye(4, dtype=np.float32)]
+        for l, r in frames[1:]:
+            info = slam.process_frame(l, r)
+            assert info.tracking_ok
+            traj.append(info.T_wc)
+        return np.stack(traj), slam._carry.keyframes
+
+    t_single, _ = run(None)
+    t_shard, kf = run(mesh8)
+    assert kf.points.addressable_shards[0].data.shape[0] == 16 // 8
+    np.testing.assert_allclose(t_shard, t_single, atol=1e-3)
