@@ -52,6 +52,12 @@ def main() -> None:
                     help="loop_closure adds per-frame on-device ORB + BoW "
                     "database scoring inside the scan (config 3) plus the "
                     "host gate/PGO epilogue to the timed region")
+    ap.add_argument("--world", choices=["corridor", "revisit"],
+                    default="corridor",
+                    help="corridor (headline; no revisits, measures "
+                    "full-SLAM overhead honestly) or revisit (2-lap "
+                    "circle: the loop_closure preset detects + closes "
+                    "real loops inside the timed region)")
     args = ap.parse_args()
 
     import jax
@@ -68,19 +74,54 @@ def main() -> None:
 
     n_total = args.frames + 1
     cam = CameraConfig()  # full KITTI geometry: 1241x376
-    # Wider corridor (half_w): the trajectory's accumulated yaw (~26 deg by
-    # frame 96) otherwise walks the camera into the +/-7 m side wall, which
-    # collapses scene depth and degrades tracking late in the sequence.
-    world = SyntheticWorld(camera=cam, n_frames=n_total, seed=11, half_w=18.0)
-    print(f"[bench] rendering {n_total} synthetic frames at "
-          f"{cam.width}x{cam.height}...", file=sys.stderr)
-    lefts, rights = [], []
-    for i in range(n_total):
-        l, r, _ = world.render(i)
-        lefts.append(l)
-        rights.append(r)
-    left_seq = np.stack(lefts)
-    right_seq = np.stack(rights)
+    if args.world == "revisit":
+        # Two laps of a circle (x-z plane, tangential heading): lap 2
+        # revisits every pose of lap 1, so the loop_closure preset
+        # detects and closes real loops inside the timed region.  Only
+        # the lap's unique frames render; the stack tiles (the device
+        # still processes every frame individually).
+        lap = max(n_total // 2, 2)
+        r = lap * 0.8 / (2.0 * np.pi)  # ~0.8 m/frame, endurance geometry
+        lap_poses = np.zeros((lap, 4, 4))
+        for i in range(lap):
+            th = 2 * np.pi * i / lap
+            c, sn = np.cos(th), np.sin(th)
+            lap_poses[i] = np.eye(4)
+            lap_poses[i, :3, :3] = np.array(
+                [[c, 0.0, sn], [0.0, 1.0, 0.0], [-sn, 0.0, c]])
+            lap_poses[i, :3, 3] = np.array([r * (1 - c), 0.0, r * sn])
+        world = SyntheticWorld(
+            camera=cam, n_frames=lap, seed=11, custom_poses=lap_poses,
+            half_w=max(3.0 * r, 18.0), end_z=max(6.0 * r, 260.0),
+        )
+        print(f"[bench] rendering {lap} unique revisit-lap frames at "
+              f"{cam.width}x{cam.height}...", file=sys.stderr)
+        lefts, rights = [], []
+        for i in range(lap):
+            l, rr, _ = world.render(i)
+            lefts.append(l)
+            rights.append(rr)
+        idx = np.arange(n_total) % lap
+        left_seq = np.stack(lefts)[idx]
+        right_seq = np.stack(rights)[idx]
+        gt_poses = lap_poses[idx]
+    else:
+        # Wider corridor (half_w): the trajectory's accumulated yaw (~26
+        # deg by frame 96) otherwise walks the camera into the +/-7 m side
+        # wall, which collapses scene depth and degrades tracking late in
+        # the sequence.
+        world = SyntheticWorld(
+            camera=cam, n_frames=n_total, seed=11, half_w=18.0)
+        print(f"[bench] rendering {n_total} synthetic frames at "
+              f"{cam.width}x{cam.height}...", file=sys.stderr)
+        lefts, rights = [], []
+        for i in range(n_total):
+            l, r, _ = world.render(i)
+            lefts.append(l)
+            rights.append(r)
+        left_seq = np.stack(lefts)
+        right_seq = np.stack(rights)
+        gt_poses = world.poses
 
     cfg = preset_odometry().replace(camera=cam)
     platform = jax.devices()[0].platform
@@ -141,7 +182,7 @@ def main() -> None:
             dt = min(dt, time.perf_counter() - t0)
         fps = args.frames / dt
         ate = metrics.ate_rmse(
-            res.trajectory, world.poses[: res.trajectory.shape[0]]
+            res.trajectory, gt_poses[: res.trajectory.shape[0]]
         )
         print(json.dumps({
             "metric": "slam_frames_per_sec_per_chip",
@@ -153,6 +194,7 @@ def main() -> None:
             "frames": args.frames,
             "mode": "scan+epilogue",
             "preset": "loop_closure",
+            "world": args.world,
             "vocab_words": voc.n_words,
             "db_capacity": cfg.loop.db_capacity,
             "detect_every": cfg.loop.detect_every,
@@ -194,7 +236,7 @@ def main() -> None:
         res = _R()
 
     fps = args.frames / dt
-    ate = metrics.ate_rmse(res.trajectory, world.poses[: res.trajectory.shape[0]])
+    ate = metrics.ate_rmse(res.trajectory, gt_poses[: res.trajectory.shape[0]])
 
     # Online-SLAM posture: per-frame dispatch incl. host->device transfer
     # of each frame (the number an online robot sees, vs scan's offline
@@ -265,6 +307,7 @@ def main() -> None:
         "stream_chunk32_fps": (
             None if chunk_fps is None else round(chunk_fps, 2)
         ),
+        "world": args.world,
         "resolution": f"{cam.width}x{cam.height}",
         "platform": platform,
         "n_devices": len(jax.devices()),
