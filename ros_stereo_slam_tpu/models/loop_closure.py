@@ -247,7 +247,12 @@ class LoopDetector:
         self.db_ids = jnp.full((cap,), -1, jnp.int32)
         self._idf = jnp.asarray(self.vocab.idf)
         self._last = None  # (uwords, uvals) of the previous frame
-        self._gater = CandidateGater(self.config)
+        # stride widens island/temporal tolerances when the caller only
+        # detects every Nth frame (LoopClosureConfig.detect_every), same
+        # as the scan-mode epilogue (slam_scan.py).
+        self._gater = CandidateGater(
+            self.config, stride=max(self.config.detect_every, 1)
+        )
         self._key = jax.random.PRNGKey(77)
 
     # -- internals ---------------------------------------------------------

@@ -161,7 +161,7 @@ def run_offline(
     cast per frame inside the scan).
     """
     grid_pts, grid_mask = _grid_for(cfg)
-    stage_dtype = (jnp.uint8 if np.asarray(left_seq).dtype == np.uint8
+    stage_dtype = (jnp.uint8 if left_seq.dtype == np.uint8
                    else jnp.float32)
     l0 = jnp.asarray(left_seq[0], stage_dtype)
     r0 = jnp.asarray(right_seq[0], stage_dtype)

@@ -218,7 +218,15 @@ class StereoSLAM:
         self._append_pose(T_wc)
 
         # 2) loop detection on the current left image
-        cand = self._detect_loop(left_dev)
+        # Detection cadence (LoopClosureConfig.detect_every): scan mode
+        # runs _lc_scan_step only on fid % every == 0 frames, so the
+        # streaming driver skips the same frames (ORB + BoW + query AND
+        # the database add — non-detection frames never enter the db).
+        every = max(cfg.loop.detect_every, 1)
+        cand = (
+            self._detect_loop(left_dev)
+            if self.frame_count % every == 0 else None
+        )
         loop_closed = False
         if cand is not None:
             # 3) loop edge: PnP-measured relative pose to vertex `match`

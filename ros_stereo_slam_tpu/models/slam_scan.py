@@ -249,7 +249,7 @@ def _measure_edges_pnp(
     out = []
     from ros_stereo_slam_tpu.models import frontend as fe_mod
 
-    scale = 1.0 / 255.0 if np.asarray(left_seq).dtype == np.uint8 else 1.0
+    scale = 1.0 / 255.0 if left_seq.dtype == np.uint8 else 1.0
     for ci, (q, m) in enumerate(cands):
         lq = jnp.asarray(left_seq[q], jnp.float32) * scale
         rq = jnp.asarray(right_seq[q], jnp.float32) * scale
@@ -292,7 +292,7 @@ def run_offline_slam(
     from ros_stereo_slam_tpu.models.pipeline import _grid_for
 
     grid_pts, grid_mask = _grid_for(cfg)
-    stage_dtype = (jnp.uint8 if np.asarray(left_seq).dtype == np.uint8
+    stage_dtype = (jnp.uint8 if left_seq.dtype == np.uint8
                    else jnp.float32)
     l0 = jnp.asarray(left_seq[0], stage_dtype)
     r0 = jnp.asarray(right_seq[0], stage_dtype)

@@ -143,10 +143,28 @@ def _level_budgets(n_features: int, n_levels: int, s: float) -> list[int]:
     """Per-level feature budgets summing to n_features, decaying by the
     scale factor per level (cv::ORB distributes points by the same
     geometric series)."""
+    if n_features < 8 * n_levels:
+        raise ValueError(
+            f"n_features={n_features} cannot fund {n_levels} pyramid "
+            f"levels at >=8 features each; lower n_levels or raise "
+            f"n_features"
+        )
     w = [s**-l for l in range(n_levels)]
     tot = sum(w)
     b = [max(int(round(n_features * x / tot)), 8) for x in w]
+    # Rebalance rounding/clamp drift into level 0, then (if the clamps
+    # pushed the sum high enough that level 0 would fall under 8) shed
+    # the remainder from the other levels, largest first, floor 8 —
+    # feasible because n_features >= 8 * n_levels.
     b[0] += n_features - sum(b)
+    if b[0] < 8:
+        need = 8 - b[0]
+        b[0] = 8
+        for j in sorted(range(1, n_levels), key=lambda j: -b[j]):
+            take = min(need, b[j] - 8)
+            b[j] -= take
+            need -= take
+        assert need == 0, (n_features, n_levels, b)
     return b
 
 

@@ -18,10 +18,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _npz_safe(leaf) -> np.ndarray:
+    """np.savez cannot round-trip ml_dtypes (bfloat16 reloads as raw '|V2'
+    void); store those as float32 — an exact upcast — and let load_pytree
+    cast back to the template leaf's dtype."""
+    a = np.asarray(leaf)
+    if a.dtype.kind == "V" or str(a.dtype) == "bfloat16":
+        return a.astype(np.float32)
+    return a
+
+
 def save_pytree(path: str, tree, meta: dict | None = None) -> None:
     """Serialize an arbitrary array pytree + JSON metadata to .npz."""
     leaves, treedef = jax.tree_util.tree_flatten(tree)
-    arrs = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
+    arrs = {f"leaf_{i}": _npz_safe(l) for i, l in enumerate(leaves)}
     arrs["__treedef__"] = np.frombuffer(
         str(treedef).encode(), dtype=np.uint8
     )  # structure fingerprint for validation only
@@ -46,7 +56,10 @@ def load_pytree(path: str, like):
             raise ValueError(
                 f"checkpoint leaf {i} shape {arr.shape} != template {tmpl.shape}"
             )
-        leaves.append(jnp.asarray(arr) if isinstance(tmpl, jnp.ndarray) else arr)
+        leaves.append(
+            jnp.asarray(arr, dtype=tmpl.dtype)
+            if isinstance(tmpl, jnp.ndarray) else arr
+        )
     saved_def = bytes(z["__treedef__"].tobytes()).decode()
     if saved_def != str(treedef):
         raise ValueError("checkpoint structure does not match template")

@@ -136,3 +136,18 @@ def test_loop_detected_under_scale_change(scale_pair):
     assert hit is not None, "scale-change revisit not detected"
     assert hit.query == len(seq) - 1 and hit.match == 0, (hit.query, hit.match)
     assert hit.n_inliers >= cfg.geom_min_points
+
+
+def test_level_budgets_edge_cases():
+    """Budgets always sum to n_features with every level >= 8; too-small
+    budgets fail loudly instead of producing a negative level-0 budget."""
+    from ros_stereo_slam_tpu.ops.orb import _level_budgets
+
+    for n, L in [(512, 4), (64, 4), (32, 4), (33, 4), (16, 2), (8, 1)]:
+        b = _level_budgets(n, L, 1.25)
+        assert sum(b) == n, (n, L, b)
+        assert all(x >= 8 for x in b), (n, L, b)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _level_budgets(16, 4, 1.25)

@@ -30,8 +30,11 @@ def main():
     ap.add_argument("--levels", type=int, default=6,
                     help="depth (reference: 6 = 531,441 words; the sparse "
                          "BoW database scores any size in O(features))")
-    ap.add_argument("--orb_levels", type=int, default=3,
-                    help="ORB pyramid octaves (match LoopClosureConfig)")
+    ap.add_argument("--orb_levels", type=int, default=None,
+                    help="ORB pyramid octaves; defaults to "
+                         "LoopClosureConfig.orb_levels so vocabulary "
+                         "training sees the SAME descriptor distribution "
+                         "the detector extracts at query time")
     ap.add_argument("--features", type=int, default=512)
     ap.add_argument("--out", required=True)
     ap.add_argument("--platform", default=None)
@@ -45,10 +48,14 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from ros_stereo_slam_tpu.config import LoopClosureConfig
     from ros_stereo_slam_tpu.data import kitti
     from ros_stereo_slam_tpu.data.synthetic import small_world
     from ros_stereo_slam_tpu.models import vocab as vocab_mod
     from ros_stereo_slam_tpu.ops import orb
+
+    if args.orb_levels is None:
+        args.orb_levels = LoopClosureConfig().orb_levels
 
     if args.synthetic:
         world = small_world(n_frames=args.frames, seed=3)

@@ -96,8 +96,8 @@ def main():
         descs, docs = [], []
         for i in range(0, world.n_frames, 4):
             f = orb.detect_and_compute(jnp.asarray(frames[i][0]),
-                                       n_levels=cfg.loop.orb_levels,
-                                       cfg.loop.orb_features)
+                                       cfg.loop.orb_features,
+                                       n_levels=cfg.loop.orb_levels)
             v = np.asarray(f.valid)
             descs.append(np.asarray(f.desc_sign)[v])
             docs.append(np.full(int(v.sum()), i))
