@@ -106,3 +106,29 @@ def test_graph_and_map_export(slam_run, tmp_path):
     mpath = str(tmp_path / "map.ply")
     n = slam.save_map(mpath)
     assert n > 500
+
+
+def test_detect_every_cadence_still_closes(slam_run):
+    """LoopClosureConfig.detect_every=2 in the STREAMING driver: detection
+    (and the database add) run only on even frames — mirroring scan mode's
+    fid %% every == 0 gating — and the stride-widened gater still accepts
+    the revisit loop.  Reuses the fixture's compiled kernels."""
+    import dataclasses
+
+    world, slam0 = slam_run
+    n = 80
+    frames = [world.render(i)[:2] for i in range(n)]
+    cfg = slam0.config.replace(
+        loop=dataclasses.replace(slam0.config.loop, detect_every=2)
+    )
+    slam = StereoSLAM(cfg, vocab=slam0.detector.vocab)
+    slam.initialize(*frames[0])
+    for i in range(1, n):
+        slam.process_frame(*frames[i])
+    assert not slam.tracking_failed
+    ids = np.asarray(slam.detector.db_ids)
+    added = ids[ids >= 0]
+    assert added.size > 0 and (added % 2 == 0).all(), (
+        "off-cadence frames entered the BoW database"
+    )
+    assert len(slam.loop_events) >= 1, "loop missed at detect_every=2"
