@@ -190,15 +190,18 @@ def run_sequence_slam(
     idf: jnp.ndarray,
     cfg: PipelineConfig,
     vocab_k: int,
+    rgb_seq: jnp.ndarray | None = None,
 ):
     """Odometry + on-device loop detection for a whole sequence: ONE scan."""
     every = max(cfg.loop.detect_every, 1)
 
     def body(c, xs):
         sc, lcs = c
-        left, right, fid = xs
+        left, right, fid, rgb = (
+            (*xs, None) if rgb_seq is None else xs
+        )
         sc, fstats = step_mod.slam_frame_step(
-            sc, left, right, grid_pts, grid_mask, cfg
+            sc, left, right, grid_pts, grid_mask, cfg, left_rgb=rgb
         )
         # Note ordering quirk vs the scan stats: frame ids here are the
         # 1-based positions of left_seq rows (frame 0 is the bootstrap).
@@ -216,7 +219,11 @@ def run_sequence_slam(
         return (sc, lcs), (fstats, lstats)
 
     fids = jnp.arange(1, left_seq.shape[0] + 1, dtype=jnp.int32)
-    return lax.scan(body, (carry, lc), (left_seq, right_seq, fids))
+    xs = (
+        (left_seq, right_seq, fids) if rgb_seq is None
+        else (left_seq, right_seq, fids, rgb_seq)
+    )
+    return lax.scan(body, (carry, lc), xs)
 
 
 @dataclass
@@ -283,11 +290,14 @@ def run_offline_slam(
     vocab: vocab_mod.Vocabulary,
     left_seq,
     right_seq,
+    rgb_seq=None,
 ) -> ScanSlamResult:
     """Full SLAM over a sequence: one scan dispatch + host epilogue.
 
     `left_seq`/`right_seq` may be uint8 stacks — staged as-is (4x less
-    HBM than f32) and cast per frame inside the scan.
+    HBM than f32) and cast per frame inside the scan.  `rgb_seq`
+    ((F, H, W, 3) f32/uint8, optional) colors the keyframe map points
+    (reference ``getColors``; same contract as pipeline.run_offline).
     """
     from ros_stereo_slam_tpu.models.pipeline import _grid_for
 
@@ -296,8 +306,10 @@ def run_offline_slam(
                    else jnp.float32)
     l0 = jnp.asarray(left_seq[0], stage_dtype)
     r0 = jnp.asarray(right_seq[0], stage_dtype)
+    rgb0 = None if rgb_seq is None else jnp.asarray(rgb_seq[0])
     carry = step_mod.init_carry(
-        l0, r0, grid_pts, grid_mask, jax.random.PRNGKey(cfg.seed), cfg
+        l0, r0, grid_pts, grid_mask, jax.random.PRNGKey(cfg.seed), cfg,
+        left_rgb=rgb0,
     )
     lc0 = init_lc_state(cfg, vocab.n_words)
     # frame 0 enters the database too (the reference adds every frame;
@@ -309,9 +321,11 @@ def run_offline_slam(
 
     ls = jnp.asarray(left_seq[1:], stage_dtype)
     rs = jnp.asarray(right_seq[1:], stage_dtype)
+    rgbs = None if rgb_seq is None else jnp.asarray(rgb_seq[1:])
     (carry, lc), (fstats, lstats) = run_sequence_slam(
         ls, rs, carry, lc0, grid_pts, grid_mask,
         tuple(vocab.centers), jnp.asarray(vocab.idf), cfg, vocab.k,
+        rgb_seq=rgbs,
     )
     jax.block_until_ready(fstats.T_wc)
 

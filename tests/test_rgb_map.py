@@ -118,3 +118,41 @@ def test_uint8_rgb_equivalent_to_f32(rgb_run):
     _, c8 = map_points_of(res8.keyframes)
     assert c8.shape == c32.shape
     np.testing.assert_allclose(c8, c32, atol=3.0 / 255.0)
+
+
+def test_scan_slam_rgb_colors(rgb_run):
+    """run_offline_slam (config 3, detection in-scan) carries the same RGB
+    color path as run_offline: keyframe map colors show real chroma."""
+    import dataclasses
+
+    from ros_stereo_slam_tpu.config import LoopClosureConfig, preset_loop_closure
+    from ros_stereo_slam_tpu.models import vocab as vocab_mod
+    from ros_stereo_slam_tpu.models.slam_scan import run_offline_slam
+    from ros_stereo_slam_tpu.ops import orb
+
+    world, RGB, _ = rgb_run
+    L, R = [], []
+    for i in range(RGB.shape[0]):
+        l, r, _ = world.render(i)
+        L.append(l)
+        R.append(r)
+    L, R = np.stack(L), np.stack(R)
+    descs = []
+    for i in range(0, L.shape[0], 2):
+        f = orb.detect_and_compute(jnp.asarray(L[i]), 64)
+        descs.append(np.asarray(f.desc_sign)[np.asarray(f.valid)])
+    voc = vocab_mod.train(np.concatenate(descs), k=4, levels=2)
+    cfg = preset_loop_closure().replace(
+        camera=world.camera,
+        frontend=FrontendConfig(grid_step=16, max_points=768),
+        loop=dataclasses.replace(
+            LoopClosureConfig(), orb_features=64, db_capacity=16,
+            max_db_results=8, shortlist=16,
+        ),
+    )
+    res = run_offline_slam(cfg, voc, L, R, rgb_seq=RGB)
+    kf = res.keyframes
+    colors = np.asarray(kf.colors)[np.asarray(kf.point_mask)]
+    assert colors.size > 0
+    chroma = np.abs(colors - colors.mean(axis=1, keepdims=True)).max()
+    assert chroma > 0.05, "scan-mode SLAM map colors are monochrome"
