@@ -1,25 +1,29 @@
 #!/usr/bin/env python
-"""Benchmark harness: odometry frames/sec/chip on a KITTI-scale sequence.
+"""Benchmark harness: frames/sec/chip on a KITTI-scale sequence.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
-Two modes (compute is the headline — the whole sequence runs as a single
-``lax.scan`` XLA program on device, the TPU-native execution model):
-- scan    (default): stacked frames pre-staged in HBM, one dispatch.
-- stream: one fused dispatch per frame incl. host transfer overheads.
+The default run covers BOTH headline configurations — odometry (config 1)
+and full SLAM with on-device loop detection (config 3) — plus the online
+streaming posture with a measured transfer-vs-compute breakdown, merged
+into the single JSON line.  `--preset` narrows to one configuration
+(odometry / loop_closure / mapping / ba).
+
+Execution model: compute rows run the whole sequence as a single
+``lax.scan`` XLA program with frames pre-staged in HBM (the TPU-native
+offline-mapping posture).  The streaming rows measure the online posture:
+chunked micro-batches dispatched back-to-back INCLUDING each chunk's
+host->device transfer (uint8-staged, double-buffered), with pure-compute
+and pure-transfer legs reported separately.
 
 Baseline: the reference C++ pipeline publishes no numbers (BASELINE.md),
 so the baseline is SELF-MEASURED: ``tools/reference_baseline.py``
 re-executes the reference's exact per-frame OpenCV pipeline (same calls,
-same parameters, no loop-closure/viz/ROS overhead) on the same synthetic
-frames — 50.7 fps / ATE 0.692 m at 192 frames on this image's CPU
-(OpenCV 5.0).  vs_baseline = our_fps / 50.7.  For context, the author's
-full loop (with per-frame ORB+DBoW2, PCL SOR, imshow, ROS publish,
-Pangolin) displayed ~10 fps on a desktop CPU and the Python prototype was
-throttled to 5 Hz (SURVEY.md §6) — vs_author_loop reports against that.
+same parameters) on the same synthetic frames.  For context, the author's
+full loop displayed ~10 fps on a desktop CPU (SURVEY.md §6).
 
-Usage: python bench.py [--frames N] [--platform cpu] [--mode scan|stream]
+Usage: python bench.py [--frames N] [--platform cpu] [--preset P]
 """
 
 from __future__ import annotations
@@ -44,47 +48,21 @@ REFERENCE_CPU_ATE_M = 1.277
 AUTHOR_LOOP_FPS = 10.0
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=384, help="timed frames")
-    ap.add_argument("--platform", type=str, default=None)
-    ap.add_argument("--mode", choices=["scan", "stream"], default="scan")
-    ap.add_argument("--reps", type=int, default=3,
-                    help="timed repetitions; best is reported (the dev "
-                    "TPU tunnel adds ±20%% run-to-run noise)")
-    ap.add_argument("--preset", choices=["odometry", "loop_closure"],
-                    default="odometry",
-                    help="loop_closure adds per-frame on-device ORB + BoW "
-                    "database scoring inside the scan (config 3) plus the "
-                    "host gate/PGO epilogue to the timed region")
-    ap.add_argument("--world", choices=["corridor", "revisit"],
-                    default="corridor",
-                    help="corridor (headline; no revisits, measures "
-                    "full-SLAM overhead honestly) or revisit (2-lap "
-                    "circle: the loop_closure preset detects + closes "
-                    "real loops inside the timed region)")
-    args = ap.parse_args()
-
-    import jax
-
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
-
+def _render_world(args, cam):
+    """Render the benchmark world; returns (left, right, gt_poses) f32."""
     import numpy as np
 
-    from ros_stereo_slam_tpu.config import CameraConfig, preset_odometry
     from ros_stereo_slam_tpu.data.synthetic import SyntheticWorld
-    from ros_stereo_slam_tpu.models.pipeline import StereoOdometry, run_offline
-    from ros_stereo_slam_tpu.utils import metrics
 
     n_total = args.frames + 1
-    cam = CameraConfig()  # full KITTI geometry: 1241x376
     if args.world == "revisit":
         # Two laps of a circle (x-z plane, tangential heading): lap 2
         # revisits every pose of lap 1, so the loop_closure preset
         # detects and closes real loops inside the timed region.  Only
         # the lap's unique frames render; the stack tiles (the device
-        # still processes every frame individually).
+        # still processes every frame individually).  `--jitter` makes
+        # lap-2+ frames non-identical (pose + photometric perturbation,
+        # the appearance-change regime BoW retrieval exists to survive).
         lap = max(n_total // 2, 2)
         r = lap * 0.8 / (2.0 * np.pi)  # ~0.8 m/frame, endurance geometry
         lap_poses = np.zeros((lap, 4, 4))
@@ -95,6 +73,37 @@ def main() -> None:
             lap_poses[i, :3, :3] = np.array(
                 [[c, 0.0, sn], [0.0, 1.0, 0.0], [-sn, 0.0, c]])
             lap_poses[i, :3, 3] = np.array([r * (1 - c), 0.0, r * sn])
+        idx = np.arange(n_total) % lap
+        if args.jitter:
+            from ros_stereo_slam_tpu.data.synthetic import jitter_poses
+
+            n_laps = int(np.ceil(n_total / lap))
+            rng = np.random.default_rng(17)
+            print(f"[bench] rendering {n_total} jittered revisit frames "
+                  f"({n_laps} laps) at {cam.width}x{cam.height}...",
+                  file=sys.stderr)
+            lefts, rights, gt = [], [], []
+            for lap_i in range(n_laps):
+                poses_l = (lap_poses if lap_i == 0 else jitter_poses(
+                    lap_poses, rng, trans_m=0.1, rot_deg=1.0))
+                world = SyntheticWorld(
+                    camera=cam, n_frames=lap, seed=11,
+                    custom_poses=poses_l,
+                    half_w=max(3.0 * r, 18.0), end_z=max(6.0 * r, 260.0),
+                )
+                for i in range(lap):
+                    if len(gt) >= n_total:
+                        break
+                    l, rr, _ = world.render(i)
+                    if lap_i > 0:  # photometric jitter on revisit laps
+                        b = rng.uniform(0.85, 1.15)
+                        noise = rng.normal(0, 0.02, l.shape).astype(l.dtype)
+                        l = np.clip(l * b + noise, 0, 1)
+                        rr = np.clip(rr * b + noise, 0, 1)
+                    lefts.append(l)
+                    rights.append(rr)
+                    gt.append(poses_l[i])
+            return np.stack(lefts), np.stack(rights), np.stack(gt)
         world = SyntheticWorld(
             camera=cam, n_frames=lap, seed=11, custom_poses=lap_poses,
             half_w=max(3.0 * r, 18.0), end_z=max(6.0 * r, 260.0),
@@ -106,223 +115,368 @@ def main() -> None:
             l, rr, _ = world.render(i)
             lefts.append(l)
             rights.append(rr)
-        idx = np.arange(n_total) % lap
-        left_seq = np.stack(lefts)[idx]
-        right_seq = np.stack(rights)[idx]
-        gt_poses = lap_poses[idx]
-    else:
-        # Wider corridor (half_w): the trajectory's accumulated yaw (~26
-        # deg by frame 96) otherwise walks the camera into the +/-7 m side
-        # wall, which collapses scene depth and degrades tracking late in
-        # the sequence.
-        world = SyntheticWorld(
-            camera=cam, n_frames=n_total, seed=11, half_w=18.0)
-        print(f"[bench] rendering {n_total} synthetic frames at "
-              f"{cam.width}x{cam.height}...", file=sys.stderr)
-        lefts, rights = [], []
-        for i in range(n_total):
-            l, r, _ = world.render(i)
-            lefts.append(l)
-            rights.append(r)
-        left_seq = np.stack(lefts)
-        right_seq = np.stack(rights)
-        gt_poses = world.poses
+        return (np.stack(lefts)[idx], np.stack(rights)[idx],
+                lap_poses[idx])
+    # Wider corridor (half_w): the trajectory's accumulated yaw (~26
+    # deg by frame 96) otherwise walks the camera into the +/-7 m side
+    # wall, which collapses scene depth and degrades tracking late in
+    # the sequence.
+    world = SyntheticWorld(camera=cam, n_frames=n_total, seed=11, half_w=18.0)
+    print(f"[bench] rendering {n_total} synthetic frames at "
+          f"{cam.width}x{cam.height}...", file=sys.stderr)
+    lefts, rights = [], []
+    for i in range(n_total):
+        l, r, _ = world.render(i)
+        lefts.append(l)
+        rights.append(r)
+    return np.stack(lefts), np.stack(rights), world.poses
 
-    cfg = preset_odometry().replace(camera=cam)
-    platform = jax.devices()[0].platform
-    print(f"[bench] mode={args.mode} platform={platform}", file=sys.stderr)
 
-    if args.preset == "loop_closure":
-        # Config 3: odometry + on-device loop detection in the SAME scan +
-        # host gate/PGO epilogue (models/slam_scan.py).  The corridor has
-        # no revisits, so this measures full-SLAM detection overhead.
-        import dataclasses
-
-        import jax.numpy as jnp
-
-        from ros_stereo_slam_tpu.config import (
-            LoopClosureConfig, preset_loop_closure,
-        )
-        from ros_stereo_slam_tpu.models import vocab as vocab_mod
-        from ros_stereo_slam_tpu.models.slam_scan import run_offline_slam
-        from ros_stereo_slam_tpu.ops import orb
-
-        # Reference scale: k=9, L=6 = 531,441 words and a 4,096-frame
-        # database (the reference trains k=9 L=6 vocabularies,
-        # bagOfWordsDetector.cpp:21, and allocates 4,000 db entries,
-        # visualSLAM.h:137).  The sparse BoW database makes this ~100 MB
-        # of device state; a dense (capacity, n_words) matrix would be
-        # ~8.7 GB.
-        cfg = preset_loop_closure().replace(
-            camera=cam,
-            loop=dataclasses.replace(LoopClosureConfig(), db_capacity=4096),
-        )
-        print("[bench] training vocabulary (untimed offline step)...",
-              file=sys.stderr)
-        descs, docs = [], []
-        for i in range(0, n_total, 8):
-            f = orb.detect_and_compute(
-                jnp.asarray(left_seq[i]), cfg.loop.orb_features,
-                n_levels=cfg.loop.orb_levels,
-            )
-            v = np.asarray(f.valid)
-            descs.append(np.asarray(f.desc_sign)[v])
-            docs.append(np.full(int(v.sum()), i))
-        voc = vocab_mod.train_batched(
-            np.concatenate(descs), k=cfg.loop.vocab_k,
-            levels=cfg.loop.vocab_levels, doc_ids=np.concatenate(docs),
-        )
-        # Pre-stage frames in HBM (same rule as the odometry mode: the
-        # timed region measures compute, not the dev-tunnel PCIe stand-in).
-        left_dev = jax.device_put(jnp.asarray(left_seq, jnp.float32))
-        right_dev = jax.device_put(jnp.asarray(right_seq, jnp.float32))
-        jax.block_until_ready((left_dev, right_dev))
-        print("[bench] compile + first run...", file=sys.stderr)
-        res = run_offline_slam(cfg, voc, left_dev, right_dev)
-        print("[bench] timed runs...", file=sys.stderr)
-        dt = float("inf")
-        for _ in range(max(args.reps, 1)):
-            t0 = time.perf_counter()
-            res = run_offline_slam(cfg, voc, left_dev, right_dev)
-            dt = min(dt, time.perf_counter() - t0)
-        fps = args.frames / dt
-        ate = metrics.ate_rmse(
-            res.trajectory, gt_poses[: res.trajectory.shape[0]]
-        )
-        print(json.dumps({
-            "metric": "slam_frames_per_sec_per_chip",
-            "value": round(fps, 2),
-            "unit": "frames/s",
-            "vs_baseline": round(fps / REFERENCE_CPU_FULL_FPS, 2),
-            "baseline_cpu_full_fps": REFERENCE_CPU_FULL_FPS,
-            "ate_rmse_m": round(float(ate), 4),
-            "loop_events": len(res.loop_events),
-            "frames": args.frames,
-            "mode": "scan+epilogue",
-            "preset": "loop_closure",
-            "world": args.world,
-            "vocab_words": voc.n_words,
-            "db_capacity": cfg.loop.db_capacity,
-            "detect_every": cfg.loop.detect_every,
-            "platform": platform,
-        }))
-        return
-
-    if args.mode == "scan":
-        import jax.numpy as jnp
-
-        # Pre-stage frames in HBM: the timed region measures compute, not
-        # the dev-tunnel PCIe stand-in (production hosts stream via real
-        # PCIe and overlap transfers with compute).
-        left_dev = jax.device_put(jnp.asarray(left_seq, jnp.float32))
-        right_dev = jax.device_put(jnp.asarray(right_seq, jnp.float32))
-        jax.block_until_ready((left_dev, right_dev))
-        print("[bench] compile + first run...", file=sys.stderr)
-        res = run_offline(cfg, left_dev, right_dev)
-        print("[bench] timed runs...", file=sys.stderr)
-        dt = float("inf")
-        for _ in range(max(args.reps, 1)):
-            t0 = time.perf_counter()
-            res = run_offline(cfg, left_dev, right_dev)
-            dt = min(dt, time.perf_counter() - t0)
-    else:
-        slam = StereoOdometry(cfg)
-        slam.initialize(left_seq[0], right_seq[0])
-        slam.process_frame(left_seq[1], right_seq[1])  # compile
-        slam2 = StereoOdometry(cfg)
-        slam2.initialize(left_seq[0], right_seq[0])
+def _time_best(fn, reps):
+    dt = float("inf")
+    out = None
+    for _ in range(max(reps, 1)):
         t0 = time.perf_counter()
-        for i in range(1, n_total):
-            slam2.process_frame(left_seq[i], right_seq[i])
-        dt = time.perf_counter() - t0
+        out = fn()
+        dt = min(dt, time.perf_counter() - t0)
+    return out, dt
 
-        class _R:  # adapt for metrics below
-            trajectory = slam2.trajectory_array()
-            tracking_ok = np.asarray([True])
-        res = _R()
 
+def bench_odometry(args, cfg, left_seq, right_seq, gt_poses,
+                   rgb_seq=None, tag=""):
+    """Configs 1/2/4: whole-sequence scan, frames pre-staged in HBM (the
+    timed region measures compute, not the dev-tunnel PCIe stand-in)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ros_stereo_slam_tpu.models.pipeline import run_offline
+    from ros_stereo_slam_tpu.utils import metrics
+
+    left_dev = jax.device_put(jnp.asarray(left_seq, jnp.float32))
+    right_dev = jax.device_put(jnp.asarray(right_seq, jnp.float32))
+    rgb_dev = (None if rgb_seq is None
+               else jax.device_put(jnp.asarray(rgb_seq)))
+    jax.block_until_ready((left_dev, right_dev))
+    print(f"[bench] {tag or 'odometry'}: compile + first run...",
+          file=sys.stderr)
+    run_offline(cfg, left_dev, right_dev, rgb_seq=rgb_dev)
+    print("[bench] timed runs...", file=sys.stderr)
+    res, dt = _time_best(
+        lambda: run_offline(cfg, left_dev, right_dev, rgb_seq=rgb_dev),
+        args.reps,
+    )
     fps = args.frames / dt
     ate = metrics.ate_rmse(res.trajectory, gt_poses[: res.trajectory.shape[0]])
+    return fps, float(ate), res
 
-    # Online-SLAM posture: per-frame dispatch incl. host->device transfer
-    # of each frame (the number an online robot sees, vs scan's offline
-    # mapping posture).  Measured over a short prefix — per-frame cost is
-    # flat after warmup, and this keeps the added bench time bounded.
-    stream_fps = None
-    if args.mode == "scan":
-        n_stream = min(96, args.frames)
-        slam = StereoOdometry(cfg)
-        slam.initialize(left_seq[0], right_seq[0])
-        slam.process_frame(left_seq[1], right_seq[1])  # compile
-        slam2 = StereoOdometry(cfg)
-        slam2.initialize(left_seq[0], right_seq[0])
-        t0 = time.perf_counter()
-        for i in range(1, n_stream + 1):
-            slam2.process_frame(left_seq[i], right_seq[i])
-        stream_fps = n_stream / (time.perf_counter() - t0)
 
-    # Chunked online posture: C-frame micro-batches dispatched
-    # back-to-back through ONE compiled C-frame scan, carry threaded
-    # across chunks — the fixed-latency streaming mode a production
-    # robot runs (C frames of latency; per-dispatch overhead amortizes
-    # C-fold).  Timed INCLUDING each chunk's host->device transfer.
-    chunk = 32
-    chunk_fps = None
-    if args.mode == "scan" and args.frames >= 2 * chunk:
-        import jax.numpy as jnp
+def bench_full_slam(args, cam, left_seq, right_seq, gt_poses):
+    """Config 3: odometry + on-device loop detection in the SAME scan +
+    host gate/PGO/map-rewrite epilogue (models/slam_scan.py)."""
+    import dataclasses
 
-        from ros_stereo_slam_tpu.models import step as step_mod
-        from ros_stereo_slam_tpu.models.pipeline import _grid_for
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
 
-        grid_pts, grid_mask = _grid_for(cfg)
-        carry0 = step_mod.init_carry(
-            jnp.asarray(left_seq[0], jnp.float32),
-            jnp.asarray(right_seq[0], jnp.float32),
-            grid_pts, grid_mask, jax.random.PRNGKey(cfg.seed), cfg,
+    from ros_stereo_slam_tpu.config import (
+        LoopClosureConfig, preset_loop_closure,
+    )
+    from ros_stereo_slam_tpu.models import vocab as vocab_mod
+    from ros_stereo_slam_tpu.models.slam_scan import run_offline_slam
+    from ros_stereo_slam_tpu.ops import orb
+    from ros_stereo_slam_tpu.utils import metrics
+
+    # Reference scale: k=9, L=6 = 531,441 words and a 4,096-frame
+    # database (the reference trains k=9 L=6 vocabularies,
+    # bagOfWordsDetector.cpp:21, and allocates 4,000 db entries,
+    # visualSLAM.h:137).  The sparse BoW database makes this ~100 MB
+    # of device state; a dense (capacity, n_words) matrix would be
+    # ~8.7 GB.
+    cfg = preset_loop_closure().replace(
+        camera=cam,
+        loop=dataclasses.replace(
+            LoopClosureConfig(), db_capacity=4096,
+            detect_every=args.detect_every,
+        ),
+    )
+    n_total = left_seq.shape[0]
+    print("[bench] training vocabulary (untimed offline step)...",
+          file=sys.stderr)
+    descs, docs = [], []
+    for i in range(0, n_total, 8):
+        f = orb.detect_and_compute(
+            jnp.asarray(left_seq[i]), cfg.loop.orb_features,
+            n_levels=cfg.loop.orb_levels,
         )
-        n_chunks = (n_total - 1) // chunk
+        v = np.asarray(f.valid)
+        descs.append(np.asarray(f.desc_sign)[v])
+        docs.append(np.full(int(v.sum()), i))
+    voc = vocab_mod.train_batched(
+        np.concatenate(descs), k=cfg.loop.vocab_k,
+        levels=cfg.loop.vocab_levels, doc_ids=np.concatenate(docs),
+    )
+    left_dev = jax.device_put(jnp.asarray(left_seq, jnp.float32))
+    right_dev = jax.device_put(jnp.asarray(right_seq, jnp.float32))
+    jax.block_until_ready((left_dev, right_dev))
+    print("[bench] full SLAM: compile + first run...", file=sys.stderr)
+    run_offline_slam(cfg, voc, left_dev, right_dev)
+    print("[bench] timed runs...", file=sys.stderr)
+    res, dt = _time_best(
+        lambda: run_offline_slam(cfg, voc, left_dev, right_dev), args.reps
+    )
+    fps = args.frames / dt
+    ate = metrics.ate_rmse(
+        res.trajectory, gt_poses[: res.trajectory.shape[0]]
+    )
+    return fps, float(ate), res, cfg, voc
 
-        def run_chunk(c, k):
-            lc = jnp.asarray(
-                left_seq[1 + k * chunk : 1 + (k + 1) * chunk], jnp.float32)
-            rc = jnp.asarray(
-                right_seq[1 + k * chunk : 1 + (k + 1) * chunk], jnp.float32)
-            return step_mod.run_sequence(lc, rc, c, grid_pts, grid_mask, cfg)
 
-        c, st = run_chunk(carry0, 0)  # compile the C-frame program
-        np.asarray(st.T_wc)
-        t0 = time.perf_counter()
-        c = carry0
-        for k in range(n_chunks):
-            c, st = run_chunk(c, k)
-        np.asarray(st.T_wc)  # forced D2H sync of the last chunk
-        chunk_fps = n_chunks * chunk / (time.perf_counter() - t0)
+def bench_streaming(args, cfg, left_seq, right_seq, gt_poses):
+    """Online posture: per-frame and chunked dispatch INCLUDING transfers.
+
+    The chunked mode stages uint8 (4x less H2D than f32) and
+    double-buffers the next chunk's transfer against the current chunk's
+    compute.  Pure-compute (chunks pre-staged) and pure-transfer legs are
+    measured separately so the posture's cost decomposes into bytes vs
+    math — over the dev tunnel the transfer leg dominates; production
+    PCIe is ~100x the tunnel's effective bandwidth.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ros_stereo_slam_tpu.models import step as step_mod
+    from ros_stereo_slam_tpu.models.pipeline import StereoOdometry, _grid_for
+
+    out = {}
+    n_total = left_seq.shape[0]
+
+    # Per-frame dispatch (f32, as an online robot would feed single frames)
+    n_stream = min(96, n_total - 1)
+    slam = StereoOdometry(cfg)
+    slam.initialize(left_seq[0], right_seq[0])
+    slam.process_frame(left_seq[1], right_seq[1])  # compile
+    slam2 = StereoOdometry(cfg)
+    slam2.initialize(left_seq[0], right_seq[0])
+    t0 = time.perf_counter()
+    for i in range(1, n_stream + 1):
+        slam2.process_frame(left_seq[i], right_seq[i])
+    out["stream_fps"] = round(n_stream / (time.perf_counter() - t0), 2)
+
+    chunk = 32
+    if n_total - 1 < 2 * chunk:
+        return out
+    grid_pts, grid_mask = _grid_for(cfg)
+    l8 = np.ascontiguousarray(
+        np.clip(left_seq * 255.0, 0, 255).astype(np.uint8))
+    r8 = np.ascontiguousarray(
+        np.clip(right_seq * 255.0, 0, 255).astype(np.uint8))
+    carry0 = step_mod.init_carry(
+        jnp.asarray(l8[0]), jnp.asarray(r8[0]),
+        grid_pts, grid_mask, jax.random.PRNGKey(cfg.seed), cfg,
+    )
+    n_chunks = (n_total - 1) // chunk
+    bytes_per_chunk = 2 * chunk * l8[0].nbytes  # L+R uint8
+
+    def put_chunk(k):
+        lo = 1 + k * chunk
+        return (jax.device_put(jnp.asarray(l8[lo:lo + chunk])),
+                jax.device_put(jnp.asarray(r8[lo:lo + chunk])))
+
+    def run_chunk(c, bufs):
+        return step_mod.run_sequence(
+            bufs[0], bufs[1], c, grid_pts, grid_mask, cfg)
+
+    # compile
+    c, st = run_chunk(carry0, put_chunk(0))
+    np.asarray(st.T_wc)
+
+    # (a) pure transfer: H2D of every chunk, blocked
+    t0 = time.perf_counter()
+    for k in range(n_chunks):
+        jax.block_until_ready(put_chunk(k))
+    dt_h2d = time.perf_counter() - t0
+    out["stream_h2d_mb_s"] = round(
+        n_chunks * bytes_per_chunk / dt_h2d / 1e6, 1)
+    out["stream_bytes_per_frame"] = 2 * l8[0].nbytes
+
+    # (b) pure compute: chunks pre-staged in HBM, carry threaded
+    staged = [put_chunk(k) for k in range(n_chunks)]
+    jax.block_until_ready(staged[-1])
+    t0 = time.perf_counter()
+    c = carry0
+    for k in range(n_chunks):
+        c, st = run_chunk(c, staged[k])
+    np.asarray(st.T_wc)
+    out["stream_chunk32_compute_fps"] = round(
+        n_chunks * chunk / (time.perf_counter() - t0), 2)
+    del staged
+
+    # (c) online: transfer + compute, double-buffered (the next chunk's
+    # H2D overlaps the current chunk's device compute — both dispatches
+    # are async)
+    t0 = time.perf_counter()
+    c = carry0
+    nxt = put_chunk(0)
+    for k in range(n_chunks):
+        cur = nxt
+        if k + 1 < n_chunks:
+            nxt = put_chunk(k + 1)
+        c, st = run_chunk(c, cur)
+    np.asarray(st.T_wc)
+    out["stream_chunk32_fps"] = round(
+        n_chunks * chunk / (time.perf_counter() - t0), 2)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=384, help="timed frames")
+    ap.add_argument("--platform", type=str, default=None)
+    ap.add_argument("--reps", type=int, default=3,
+                    help="timed repetitions; best is reported (the dev "
+                    "TPU tunnel adds ±20%% run-to-run noise)")
+    ap.add_argument("--preset",
+                    choices=["headline", "odometry", "loop_closure",
+                             "mapping", "ba"],
+                    default="headline",
+                    help="headline = odometry + full SLAM + streaming "
+                    "breakdown (one merged JSON line); the named presets "
+                    "run a single BASELINE.json configuration")
+    ap.add_argument("--world", choices=["corridor", "revisit"],
+                    default="corridor",
+                    help="corridor (headline; no revisits, measures "
+                    "full-SLAM overhead honestly) or revisit (2-lap "
+                    "circle: the loop_closure preset detects + closes "
+                    "real loops inside the timed region)")
+    ap.add_argument("--jitter", action="store_true",
+                    help="revisit world only: perturb lap-2+ rendering "
+                    "(pose ~0.1 m/1 deg + brightness/noise) so revisits "
+                    "are non-identical")
+    ap.add_argument("--detect-every", type=int, default=None,
+                    help="loop-detection cadence for the full-SLAM rows "
+                    "(default: LoopClosureConfig default)")
+    ap.add_argument("--no-stream", action="store_true",
+                    help="skip the streaming-posture rows")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from ros_stereo_slam_tpu.config import (
+        CameraConfig, LoopClosureConfig, preset_ba, preset_odometry,
+    )
+
+    if args.detect_every is None:
+        args.detect_every = LoopClosureConfig().detect_every
+
+    cam = CameraConfig()  # full KITTI geometry: 1241x376
+    left_seq, right_seq, gt_poses = _render_world(args, cam)
+    cfg = preset_odometry().replace(camera=cam)
+    platform = jax.devices()[0].platform
+    print(f"[bench] preset={args.preset} platform={platform}",
+          file=sys.stderr)
 
     result = {
-        "metric": "odometry_frames_per_sec_per_chip",
-        "value": round(fps, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps / REFERENCE_CPU_FPS, 2),
-        "ate_rmse_m": round(ate, 4),
-        "baseline_cpu_fps": REFERENCE_CPU_FPS,
-        "baseline_cpu_ate_m": REFERENCE_CPU_ATE_M,
-        "vs_author_loop": round(fps / AUTHOR_LOOP_FPS, 2),
         "frames": args.frames,
-        "mode": args.mode,
-        "stream_fps": None if stream_fps is None else round(stream_fps, 2),
-        "stream_chunk32_fps": (
-            None if chunk_fps is None else round(chunk_fps, 2)
-        ),
-        "world": args.world,
+        "world": args.world + ("+jitter" if args.jitter else ""),
         "resolution": f"{cam.width}x{cam.height}",
         "platform": platform,
         "n_devices": len(jax.devices()),
+        "baseline_cpu_fps": REFERENCE_CPU_FPS,
+        "baseline_cpu_full_fps": REFERENCE_CPU_FULL_FPS,
+        "baseline_cpu_ate_m": REFERENCE_CPU_ATE_M,
         "baseline_note": (
             "baseline = measured re-execution of the reference's OpenCV "
             "pipeline on identical frames (tools/reference_baseline.py); "
             "the author's full loop displayed ~10 fps (SURVEY.md §6)"
         ),
     }
+
+    if args.preset in ("headline", "odometry", "mapping"):
+        rgb = None
+        mcfg = cfg
+        if args.preset == "mapping":
+            # Config 2: the scan carries the RGB map path (per-keyframe
+            # cloud coloring) and the map is exported after the timed
+            # region (I/O, untimed).
+            import numpy as np
+
+            from ros_stereo_slam_tpu.config import preset_mapping
+
+            mcfg = preset_mapping().replace(camera=cam)
+            rgb = np.repeat(left_seq[..., None], 3, axis=-1)
+        fps, ate, res = bench_odometry(
+            args, mcfg, left_seq, right_seq, gt_poses, rgb_seq=rgb,
+            tag=args.preset,
+        )
+        result.update({
+            "metric": "odometry_frames_per_sec_per_chip",
+            "value": round(fps, 2),
+            "vs_baseline": round(fps / REFERENCE_CPU_FPS, 2),
+            "ate_rmse_m": round(ate, 4),
+            "vs_author_loop": round(fps / AUTHOR_LOOP_FPS, 2),
+            "mode": "scan",
+        })
+        if args.preset == "mapping":
+            from ros_stereo_slam_tpu.models.pipeline import map_points_of
+            from ros_stereo_slam_tpu.utils import ply
+
+            pts, cols = map_points_of(res.keyframes)
+            n = ply.save_ply("/tmp/bench_map.ply", pts, cols)
+            result.update({
+                "metric": "mapping_frames_per_sec_per_chip",
+                "map_points": int(n),
+            })
+
+    if args.preset == "ba":
+        # Config 4: windowed Schur BA inside the per-frame step.
+        bcfg = preset_ba().replace(camera=cam)
+        fps, ate, _ = bench_odometry(
+            args, bcfg, left_seq, right_seq, gt_poses, tag="ba",
+        )
+        result.update({
+            "metric": "ba_frames_per_sec_per_chip",
+            "value": round(fps, 2),
+            "vs_baseline": round(fps / REFERENCE_CPU_FPS, 2),
+            "ate_rmse_m": round(ate, 4),
+            "mode": "scan",
+            "ba_window": bcfg.ba.window,
+            "ba_iters": bcfg.ba.iters,
+        })
+
+    if args.preset in ("headline", "loop_closure"):
+        s_fps, s_ate, s_res, s_cfg, s_voc = bench_full_slam(
+            args, cam, left_seq, right_seq, gt_poses
+        )
+        slam_row = {
+            "slam_fps": round(s_fps, 2),
+            "slam_vs_baseline": round(s_fps / REFERENCE_CPU_FULL_FPS, 2),
+            "slam_ate_rmse_m": round(s_ate, 4),
+            "slam_loop_events": len(s_res.loop_events),
+            "vocab_words": s_voc.n_words,
+            "db_capacity": s_cfg.loop.db_capacity,
+            "detect_every": s_cfg.loop.detect_every,
+        }
+        if args.preset == "loop_closure":
+            result.update({
+                "metric": "slam_frames_per_sec_per_chip",
+                "value": round(s_fps, 2),
+                "vs_baseline": round(s_fps / REFERENCE_CPU_FULL_FPS, 2),
+                "ate_rmse_m": round(s_ate, 4),
+                "mode": "scan+epilogue",
+            })
+        result.update(slam_row)
+
+    if args.preset == "headline" and not args.no_stream:
+        result.update(
+            bench_streaming(args, cfg, left_seq, right_seq, gt_poses)
+        )
+
     print(json.dumps(result))
 
 

@@ -269,6 +269,40 @@ def small_world(
     )
 
 
+def jitter_poses(
+    poses: np.ndarray,
+    rng: np.random.Generator,
+    trans_m: float = 0.1,
+    rot_deg: float = 1.0,
+) -> np.ndarray:
+    """Perturb each pose by a small random SE(3) offset (right-multiplied,
+    i.e. in the camera frame).
+
+    Revisit benchmarks/endurance runs use this so a repeated lap is NOT
+    pixel-identical to the first (the appearance/viewpoint-change regime
+    the reference's BoW retrieval exists to survive,
+    ``/root/reference/include/TemplatedLoopDetector.h:697-861``).
+    """
+    out = np.array(poses, dtype=np.float64, copy=True)
+    rot_rad = np.deg2rad(rot_deg)
+    for i in range(out.shape[0]):
+        ax = rng.normal(size=3)
+        ax /= max(np.linalg.norm(ax), 1e-9)
+        th = rng.uniform(-rot_rad, rot_rad)
+        K = np.array([
+            [0, -ax[2], ax[1]],
+            [ax[2], 0, -ax[0]],
+            [-ax[1], ax[0], 0],
+        ])
+        dR = np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+        dt = rng.uniform(-trans_m, trans_m, size=3)
+        dT = np.eye(4)
+        dT[:3, :3] = dR
+        dT[:3, 3] = dt
+        out[i] = out[i] @ dT
+    return out
+
+
 def loop_trajectory(
     n_frames: int,
     radius: float = 2.5,

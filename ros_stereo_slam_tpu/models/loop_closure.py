@@ -96,11 +96,12 @@ def _query_scores(
     return db_ids[sl_idx[ti]], vals
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("iters",))
 def _geom_match(
     bits_q: jnp.ndarray, pts_q: jnp.ndarray, valid_q: jnp.ndarray,
     bits_m: jnp.ndarray, pts_m: jnp.ndarray, valid_m: jnp.ndarray,
     key: jax.Array, thresh_px: jnp.ndarray, ratio: jnp.ndarray,
+    iters: int = 256,
 ):
     """Brute-force descriptor matching + ratio test + F-RANSAC.
 
@@ -122,7 +123,7 @@ def _geom_match(
     good = valid_q & (d1 < ratio * d2) & (d1 < 1e8)
     m_pts = pts_m[best]
     res = ransac.fmat_ransac(
-        key, pts_q, m_pts, good, thresh_px=thresh_px, iters=256
+        key, pts_q, m_pts, good, thresh_px=thresh_px, iters=iters
     )
     # Measurement set: the strict ratio gates the ACCEPT decision
     # (reference neigh-ratio 0.6, TemplatedLoopDetector.h:1295), but the
@@ -312,6 +313,7 @@ class LoopDetector:
                     self.db_pt_valid[slot],
                     k, jnp.float32(cfg.geom_thresh_px),
                     jnp.float32(cfg.neigh_ratio),
+                    iters=cfg.geom_ransac_iters,
                 )
                 n_inl = int(n_inl_d)
                 if n_inl >= cfg.geom_min_points:

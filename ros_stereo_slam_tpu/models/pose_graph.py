@@ -234,6 +234,7 @@ class PoseGraph:
     loop_Z: jnp.ndarray = field(init=False)
     loop_valid: jnp.ndarray = field(init=False)
     n_loops: int = 0
+    last_path: str = "single"  # which optimize layout last ran
 
     def __post_init__(self):
         F = self.config.max_poses
@@ -283,13 +284,36 @@ class PoseGraph:
         self.loop_valid = self.loop_valid.at[slot].set(True)
         self.n_loops += 1
 
-    def optimize(self, poses: jnp.ndarray) -> jnp.ndarray:
-        return optimize(
+    def optimize(self, poses: jnp.ndarray, mesh=None) -> jnp.ndarray:
+        """Global optimization (reference ``globalOptimize``).
+
+        With a >1-device `mesh` (and F divisible by the mesh size) the
+        solve routes through the O(F/D) chain-partitioned layout
+        (:func:`parallel.dist_pgo.optimize_chain_sharded` — contiguous
+        pose blocks, one-pose ppermute halo, loop-endpoint psum), the
+        distributed analog of g2o's single-process solver the live
+        driver reaches via ``StereoSLAM(mesh=...)``.  `last_path` records
+        which path ran (for tests/observability).
+        """
+        args = (
             poses, jnp.int32(self.count), self.odo_Z,
             self.loop_i, self.loop_j, self.loop_Z, self.loop_valid,
+        )
+        kw = dict(
             iters=self.config.iters, cg_iters=self.config.cg_iters,
             damping=self.config.damping,
         )
+        if (
+            mesh is not None
+            and mesh.devices.size > 1
+            and poses.shape[0] % mesh.devices.size == 0
+        ):
+            from ros_stereo_slam_tpu.parallel import dist_pgo
+
+            self.last_path = "chain_sharded"
+            return dist_pgo.optimize_chain_sharded(mesh, *args, **kw)
+        self.last_path = "single"
+        return optimize(*args, **kw)
 
     # -- persistence (reference saveStructure, poseGraph.h:140-179; load
     # restores what g2o's load() would — the reference saves but never

@@ -240,7 +240,9 @@ class StereoSLAM:
             lc_idx = cand.match if Z_loop is not None else max(cand.match - 1, 0)
             self.graph.add_loop(cand.query, lc_idx, Z_loop)
             old_poses = self.trajectory_dev
-            new_poses = self.graph.optimize(old_poses)
+            # mesh>1 routes through the O(F/D) chain-partitioned PGO
+            # (parallel/dist_pgo.py); single-device otherwise.
+            new_poses = self.graph.optimize(old_poses, mesh=self.mesh)
             # keyframe clouds + poses follow the corrected trajectory
             kf = self._carry.keyframes
             if self.mesh is not None and self.mesh.devices.size > 1:

@@ -26,10 +26,17 @@ and blocks on g2o whenever a closure fires
   replay the streaming gates via :class:`loop_closure.CandidateGater`
   (identical semantics); geometric verification batches over the few
   surviving candidates; ONE pose-graph optimization solves the full chain
-  with all loop edges.  Deferred PGO is equivalent to the reference's
-  per-closure re-optimize for an offline/mapping run — each of its
-  closures re-optimizes and rewrites the ENTIRE trajectory anyway
-  (``optimizationStuff.cpp:17-47``), so only the last solve survives.
+  with all loop edges, then every keyframe cloud/pose is rewritten to the
+  optimized trajectory (the reference's ``updateOdometry``,
+  ``optimizationStuff.cpp:17-47``) so the exported map is consistent with
+  the trajectory it ships with.  Deferred PGO is equivalent to the
+  reference's per-closure re-optimize for an offline/mapping run — each
+  of its closures re-optimizes and rewrites the ENTIRE trajectory anyway,
+  so only the last solve survives.  (What deferral does change: frames
+  between a closure and the sequence end keep TRACKING in the uncorrected
+  frame — the streaming driver (slam.py) replicates the reference's
+  immediate correction instead; the measured ATE delta between the two
+  postures is documented in RESULTS.md.)
 """
 
 from __future__ import annotations
@@ -373,6 +380,7 @@ def run_offline_slam(
             lc.db_bits[best_id % cap], lc.db_pts[best_id % cap],
             lc.db_pt_valid[best_id % cap],
             k, jnp.float32(lcc.geom_thresh_px), jnp.float32(lcc.neigh_ratio),
+            iters=lcc.geom_ransac_iters,
         )
         n_inl = int(n_inl_d)
         if n_inl < lcc.geom_min_points:
@@ -408,6 +416,7 @@ def run_offline_slam(
                 loop_edges.append((q, m, Z))
 
     trajectory = traj_odo
+    keyframes = carry.keyframes
     if loop_edges:
         F = traj_odo.shape[0]
         poses = jnp.asarray(traj_odo, jnp.float32)
@@ -422,6 +431,22 @@ def run_offline_slam(
             damping=cfg.pgo.damping,
         )
         trajectory = np.asarray(opt)
+        # Post-PGO map consistency (reference ``updateOdometry``,
+        # ``src/optimizationStuff.cpp:17-47``): every keyframe cloud is
+        # re-expressed at its optimized pose and the keyframe poses follow
+        # the corrected trajectory, so the exported map matches the
+        # trajectory it ships with.  The scan inserts keyframes at raw
+        # odometry poses; this one batched rewrite (p' = T_new T_old^-1 p)
+        # is exactly what the reference's per-closure rewrite composes to
+        # after its last closure.
+        new_points = pg_mod.rewrite_points(
+            keyframes.points, keyframes.frame_idx, poses, opt
+        )
+        keyframes = keyframes._replace(
+            points=new_points,
+            poses=opt[keyframes.frame_idx],
+            retrack=keyframes.retrack | keyframes.valid,
+        )
 
     return ScanSlamResult(
         trajectory=trajectory,
@@ -430,5 +455,5 @@ def run_offline_slam(
         n_inliers=np.asarray(fstats.n_inliers),
         is_keyframe=np.asarray(fstats.is_keyframe),
         tracking_ok=np.asarray(fstats.tracking_ok),
-        keyframes=carry.keyframes,
+        keyframes=keyframes,
     )

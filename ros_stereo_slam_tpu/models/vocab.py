@@ -262,24 +262,45 @@ def train_batched(
 # -- transform ---------------------------------------------------------------
 
 
+# Levels whose full table fits under this row count score ALL nodes with
+# one dense MXU matmul instead of per-descriptor child-block gathers; the
+# gathers are latency-bound (r2 profile: 0.77 ms/frame for 6 levels of
+# ~3k data-dependent (9, 256) gathers) while a (N, 256) x (256, G) bf16
+# matmul up to G=59049 (k=9 level 4, 15 MB int8 table) is ~0.1 ms of
+# MXU+HBM work.  Level 5's 531k-row table (136 MB) would cost more to
+# stream than the gathers it replaces, so the deep levels keep gathering.
+_DESCEND_MATMUL_MAX_NODES = 65536
+
+
 def _descend(centers: list, desc_sign: jnp.ndarray, k: int, upto: int) -> jnp.ndarray:
     """Shared argmax-descent: returns node ids at level `upto`.
 
-    Each level gathers ONE contiguous (k, 256) child block per descriptor
-    (a sibling group is k*256 adjacent bytes) — k separate row gathers
-    per descriptor lower to k x more TPU gather descriptors for the same
-    bytes.  The dots run on the MXU in bf16: sign vectors are {-1,+1} and
-    a 256-bit dot is an even integer in [-256, 256], exactly representable
-    in bf16, so the argmax is bit-identical to the f32 path.
+    Small levels (table <= _DESCEND_MATMUL_MAX_NODES rows): one dense
+    (N, G) matmul against the whole level, then each descriptor selects
+    its node's k-child column block — no data-dependent gathers.  Deep
+    levels: gather ONE contiguous (k, 256) child block per descriptor
+    (a sibling group is k*256 adjacent bytes).  Both paths run bf16 on
+    the MXU: sign vectors are {-1,+1}, every partial sum is an integer
+    |.| <= 256 exactly representable in bf16/f32, so the argmax (and the
+    two paths) are bit-identical.
     """
     n = desc_sign.shape[0]
     node = jnp.zeros((n,), jnp.int32)
     q = desc_sign.astype(jnp.bfloat16)
     for l in range(upto):
-        tbl = centers[l].reshape(-1, k, N_BITS)  # (k^l, k, 256) int8
-        cand = tbl[node].astype(jnp.bfloat16)  # (N, k, 256)
-        dots = jnp.einsum("nd,nkd->nk", q, cand,
-                          preferred_element_type=jnp.float32)
+        G = centers[l].shape[0]
+        if G <= _DESCEND_MATMUL_MAX_NODES:
+            dots_all = jnp.einsum(
+                "nd,gd->ng", q, centers[l].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )  # (N, G)
+            cols = node[:, None] * k + jnp.arange(k, dtype=jnp.int32)[None, :]
+            dots = jnp.take_along_axis(dots_all, cols, axis=1)  # (N, k)
+        else:
+            tbl = centers[l].reshape(-1, k, N_BITS)  # (k^l, k, 256) int8
+            cand = tbl[node].astype(jnp.bfloat16)  # (N, k, 256)
+            dots = jnp.einsum("nd,nkd->nk", q, cand,
+                              preferred_element_type=jnp.float32)
         best = jnp.argmax(dots, axis=1).astype(jnp.int32)
         node = node * k + best
     return node

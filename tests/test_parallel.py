@@ -273,3 +273,42 @@ def test_live_slam_sharded_map_matches_single(mesh8):
     t_shard, kf = run(mesh8)
     assert kf.points.addressable_shards[0].data.shape[0] == 16 // 8
     np.testing.assert_allclose(t_shard, t_single, atol=1e-3)
+
+
+def test_live_driver_pgo_routes_chain_sharded(mesh8):
+    """StereoSLAM(mesh=...) routes closure-time PGO through the
+    chain-partitioned O(F/D) path (the driver's closure branch calls
+    ``graph.optimize(poses, mesh=self.mesh)`` — exercised here with an
+    injected loop edge on a short live run) and matches single-device."""
+    from ros_stereo_slam_tpu.config import (
+        FrontendConfig, KeyframeConfig, PGOConfig, preset_odometry,
+    )
+    from ros_stereo_slam_tpu.data.synthetic import small_world
+    from ros_stereo_slam_tpu.models.slam import StereoSLAM
+
+    world = small_world(n_frames=8, seed=5)
+    cfg = preset_odometry().replace(
+        camera=world.camera,
+        frontend=FrontendConfig(grid_step=12, max_points=1024),
+        keyframes=KeyframeConfig(max_keyframes=16, min_pnp_inliers=150,
+                                 map_block_points=1024),
+        pgo=PGOConfig(max_poses=64, max_loop_edges=8, iters=5, cg_iters=48),
+    )
+    frames = [world.render(i)[:2] for i in range(8)]
+    slam = StereoSLAM(config=cfg, mesh=mesh8)
+    slam.initialize(*frames[0])
+    for l, r in frames[1:]:
+        slam.process_frame(l, r)
+    # Inject the closure edge the detector would stage (identity-Z to the
+    # vertex before the match, reference poseGraph.h:113-126), then run
+    # the SAME optimize call the driver's closure branch runs.
+    slam.graph.add_loop(6, 0)
+    opt_mesh = slam.graph.optimize(slam.trajectory_dev, mesh=slam.mesh)
+    assert slam.graph.last_path == "chain_sharded"
+    opt_single = slam.graph.optimize(slam.trajectory_dev)
+    assert slam.graph.last_path == "single"
+    np.testing.assert_allclose(
+        np.asarray(opt_mesh)[:8], np.asarray(opt_single)[:8], atol=2e-3
+    )
+    # the mesh output must actually be chain-sharded (O(F/D) residency)
+    assert opt_mesh.addressable_shards[0].data.shape[0] == 64 // 8

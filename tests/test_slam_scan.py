@@ -93,6 +93,90 @@ def test_scan_slam_pgo_reduces_drift(scan_run):
     assert ate < 0.25, f"post-PGO ATE {ate:.3f} m"
 
 
+def test_scan_map_follows_optimized_trajectory(scan_run):
+    """The exported keyframe store must be consistent with the post-PGO
+    trajectory (reference ``updateOdometry`` semantics,
+    ``src/optimizationStuff.cpp:17-47``): keyframe poses are the optimized
+    trajectory rows, and every cloud is the odometry-frame cloud carried
+    through the same rigid correction."""
+    world, cfg, voc, L, res = scan_run
+    assert res.loop_events  # the rewrite only runs when PGO ran
+    kf = res.keyframes
+    valid = np.asarray(kf.valid)
+    fidx = np.asarray(kf.frame_idx)[valid]
+    poses = np.asarray(kf.poses)[valid]
+    np.testing.assert_allclose(
+        poses, res.trajectory[fidx], atol=1e-5,
+        err_msg="keyframe poses must follow the optimized trajectory",
+    )
+    assert np.asarray(kf.retrack)[valid].all()
+    # Cloud consistency: the camera-frame cloud inv(T) @ p is invariant
+    # under the rewrite, so points must NOT sit at the odometry-world
+    # positions wherever the correction moved the keyframe.
+    deltas = np.linalg.norm(
+        res.trajectory[fidx][:, :3, 3] - res.trajectory_odo[fidx][:, :3, 3],
+        axis=-1,
+    )
+    k_moved = int(np.argmax(deltas))
+    assert deltas[k_moved] > 1e-3, "PGO moved no keyframe — test world broken"
+    pm = np.asarray(kf.point_mask)[valid][k_moved]
+    pts = np.asarray(kf.points)[valid][k_moved][pm]
+    T_new = poses[k_moved]
+    cam_frame = (pts - T_new[:3, 3]) @ T_new[:3, :3]
+    # re-lift through the ODOMETRY pose: must differ by the correction
+    T_old = res.trajectory_odo[fidx][k_moved]
+    lifted_old = cam_frame @ T_old[:3, :3].T + T_old[:3, 3]
+    moved = np.linalg.norm(lifted_old - pts, axis=-1)
+    assert np.median(moved) > 1e-3
+
+
+def test_scan_map_matches_streaming_map(scan_run):
+    """Cross-mode map equivalence: the scan epilogue's one deferred
+    PGO + rewrite must land the exported map where the streaming driver's
+    per-closure optimize + rewrite (slam.py) lands it on the same frames."""
+    from ros_stereo_slam_tpu.models.slam import StereoSLAM
+
+    world, cfg, voc, L, res = scan_run
+    # re-render the right frames (the fixture only keeps L)
+    R = np.stack(
+        [world.render(i)[1] for i in range(world.n_frames)]
+    ).astype(np.float32)
+    slam = StereoSLAM(config=cfg, vocab=voc)
+    slam.initialize(L[0], R[0])
+    for i in range(1, world.n_frames):
+        slam.process_frame(L[i], R[i])
+    assert slam.loop_events, "streaming run must close the same loop"
+
+    # Trajectories of the two postures agree closely on this short world.
+    traj_s = slam.trajectory_array()
+    dt = np.linalg.norm(
+        res.trajectory[:, :3, 3] - traj_s[:, :3, 3], axis=-1
+    )
+    assert float(dt.max()) < 0.30, f"posture trajectory delta {dt.max():.3f}"
+
+    # Keyframes present in BOTH stores (streaming inserts an extra forced
+    # keyframe per closure) must carry near-identical world clouds after
+    # each mode's rewrite.
+    kf_a, kf_b = res.keyframes, slam._carry.keyframes
+    va, vb = np.asarray(kf_a.valid), np.asarray(kf_b.valid)
+    fa = {int(f): k for k, f in enumerate(np.asarray(kf_a.frame_idx)) if va[k]}
+    fb = {int(f): k for k, f in enumerate(np.asarray(kf_b.frame_idx)) if vb[k]}
+    common = sorted(set(fa) & set(fb))
+    assert len(common) >= 3
+    worst = 0.0
+    for f in common:
+        ka, kb = fa[f], fb[f]
+        ma = np.asarray(kf_a.point_mask[ka])
+        mb = np.asarray(kf_b.point_mask[kb])
+        m = ma & mb
+        if not m.any():
+            continue
+        pa = np.asarray(kf_a.points[ka])[m]
+        pb = np.asarray(kf_b.points[kb])[m]
+        worst = max(worst, float(np.median(np.linalg.norm(pa - pb, axis=-1))))
+    assert worst < 0.30, f"cross-mode map delta (median/kf, worst): {worst:.3f} m"
+
+
 def test_scan_stats_match_streaming_detector(scan_run):
     """The in-scan detection pipeline (ORB -> BoW -> masked L1 scoring ->
     top-K) must produce the SAME per-frame stats as the streaming

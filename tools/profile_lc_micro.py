@@ -280,8 +280,62 @@ def mk_query_binned(reps):
     return run
 
 
+def mk_insert(reps):
+    """Ring insert alone: write one frame's payload into the db carry.
+    Isolates the '.at[slot].set' cost over the ~100 MB database state
+    (the r2 'db insert + gates residue' bucket)."""
+    _, _, _, uws, uvs = _query_inputs()
+    q_bins = vocab_mod.bin_of_sparse(uws[0], uvs[0], lcc.n_bins)
+    bits, pts, pv = feats0.desc_bits, feats0.pts, feats0.valid
+
+    @jax.jit
+    def run():
+        def body(lc, i):
+            slot = i % lcc.db_capacity
+            j = i % uws.shape[0]
+            lc = lc._replace(
+                db_words=lc.db_words.at[slot].set(uws[j]),
+                db_wvals=lc.db_wvals.at[slot].set(uvs[j]),
+                db_bins=lc.db_bins.at[slot].set(q_bins.astype(jnp.bfloat16)),
+                db_bits=lc.db_bits.at[slot].set(bits),
+                db_pts=lc.db_pts.at[slot].set(pts),
+                db_pt_valid=lc.db_pt_valid.at[slot].set(pv),
+                db_valid=lc.db_valid.at[slot].set(True),
+                db_ids=lc.db_ids.at[slot].set(i),
+            )
+            return lc, uvs[j, 0]
+        lc, out = lax.scan(body, lc1, jnp.arange(reps))
+        return out
+    return run
+
+
+def mk_query_exact(reps):
+    """Shortlist gather + exact rescore only (the db_words[sl_idx] gather
+    plus the (C, nf, nf) equality reduction)."""
+    _, _, _, uws, uvs = _query_inputs()
+    q_bins = vocab_mod.bin_of_sparse(uws[0], uvs[0], lcc.n_bins)
+    sdot = vocab_mod.score_db_binned(q_bins, lc1.db_bins)
+    C = min(lcc.shortlist, lcc.db_capacity)
+    _, sl_idx0 = lax.top_k(sdot, C)
+
+    @jax.jit
+    def run():
+        def body(c, i):
+            j = i % uws.shape[0]
+            s_ex = vocab_mod.rescore_min(
+                uws[j], uvs[j], lc1.db_words[(sl_idx0 + i) % lcc.db_capacity],
+                lc1.db_wvals[(sl_idx0 + i) % lcc.db_capacity],
+            )
+            return c + s_ex[0], 0.0
+        c, _ = lax.scan(body, jnp.float32(0), jnp.arange(reps))
+        return c
+    return run
+
+
 STAGES = {
     "full": lambda: slope("full _lc_scan_step", mk_full),
+    "insert": lambda: slope("db ring insert (all fields)", mk_insert),
+    "qexact": lambda: slope("shortlist gather + exact rescore", mk_query_exact),
     "qbinned": lambda: slope("binned query (matvec+rescore)", mk_query_binned),
     "descend": lambda: slope("  vocab descend (6 levels)", mk_descend),
     "bow": lambda: slope("  bow_sparse (argsort+scatter)", mk_bow),
