@@ -280,9 +280,11 @@ def bench_streaming(args, cfg, left_seq, right_seq, gt_poses):
     bytes_per_chunk = 2 * chunk * l8[0].nbytes  # L+R uint8
 
     def put_chunk(k):
+        # device_put on the numpy slice is ONE async H2D transfer
+        # (jnp.asarray would transfer eagerly and defeat double-buffering)
         lo = 1 + k * chunk
-        return (jax.device_put(jnp.asarray(l8[lo:lo + chunk])),
-                jax.device_put(jnp.asarray(r8[lo:lo + chunk])))
+        return (jax.device_put(l8[lo:lo + chunk]),
+                jax.device_put(r8[lo:lo + chunk]))
 
     def run_chunk(c, bufs):
         return step_mod.run_sequence(

@@ -209,11 +209,19 @@ class LoopClosureConfig:
     vocab_k: int = 9  # branching factor
     vocab_levels: int = 6  # depth
     # Detection cadence: run ORB + BoW + database query every Nth frame
-    # (1 = reference behavior, optimizationStuff.cpp:49 runs every frame).
+    # (1 = reference behavior, optimizationStuff.cpp:49 runs every frame —
+    # only because its host loop was already slower than its camera).
     # The accept rule needs query-match > 100 frames and arms a 100-frame
-    # cooldown, so strides <= 4 cost no recall on revisits lasting a few
-    # frames; the temporal-consistency window widens with the stride.
-    detect_every: int = 1
+    # cooldown, so strides <= 4 cost no recall on revisits lasting more
+    # than a few frames; the island/temporal-consistency tolerances widen
+    # with the stride (CandidateGater).  Default 2 halves the per-frame
+    # detection cost (measured 2.33 ms -> 1.17 ms amortized on TPU v5e);
+    # recall evidence: the streaming cadence test
+    # (tests/test_slam_full.py::test_detect_every_cadence_still_closes),
+    # the jittered revisit bench and the jittered endurance run all still
+    # close their loops at stride 2 (RESULTS.md).  Set 1 for
+    # reference-exact cadence.
+    detect_every: int = 2
     dislocal: int = 20  # skip this many recent frames (detector default)
     max_db_results: int = 50
     # Binned-shortlist query (vocab.score_db_binned): each frame's sparse

@@ -263,13 +263,15 @@ def train_batched(
 
 
 # Levels whose full table fits under this row count score ALL nodes with
-# one dense MXU matmul instead of per-descriptor child-block gathers; the
-# gathers are latency-bound (r2 profile: 0.77 ms/frame for 6 levels of
-# ~3k data-dependent (9, 256) gathers) while a (N, 256) x (256, G) bf16
-# matmul up to G=59049 (k=9 level 4, 15 MB int8 table) is ~0.1 ms of
-# MXU+HBM work.  Level 5's 531k-row table (136 MB) would cost more to
-# stream than the gathers it replaces, so the deep levels keep gathering.
-_DESCEND_MATMUL_MAX_NODES = 65536
+# one dense MXU matmul instead of per-descriptor child-block gathers.
+# Measured on TPU v5e (tools/profile_lc_micro.py, 512 descriptors, k=9
+# L=6): pure gathers 0.81 ms, matmul levels 0-3 0.95 ms, matmul level 4
+# (121 MB (N, G) f32 dots intermediate) 1.24 ms — the contiguous
+# (k, 256) sibling-block gathers already beat dense scoring at every
+# level, so the matmul path stays available for study but OFF by
+# default.  (Kept because the tradeoff flips for larger N: the matmul
+# amortizes the table read over descriptors.)
+_DESCEND_MATMUL_MAX_NODES = 0
 
 
 def _descend(centers: list, desc_sign: jnp.ndarray, k: int, upto: int) -> jnp.ndarray:

@@ -41,6 +41,32 @@ def test_fast_detects_corners():
         assert np.min(np.abs(corners - [y, x]).sum(axis=1)) <= 4, (y, x)
 
 
+def test_fast_arc_doubling_matches_naive():
+    """The binary-doubling FAST-9 arc test must equal the naive
+    all-starts AND-chain on random ring masks."""
+    rng = np.random.default_rng(7)
+    m = rng.random((16, 33, 47)) > 0.35  # dense-ish so 9-runs occur
+
+    def naive(mask16):
+        hit = np.zeros(mask16.shape[1:], bool)
+        for s in range(16):
+            run = mask16[s]
+            for k in range(1, 9):
+                run = run & mask16[(s + k) % 16]
+            hit |= run
+        return hit
+
+    def doubling(mask16):
+        rot = lambda x, j: np.roll(x, -j, axis=0)
+        r2 = mask16 & rot(mask16, 1)
+        r4 = r2 & rot(r2, 2)
+        r8 = r4 & rot(r4, 4)
+        return (r8 & rot(mask16, 8)).any(axis=0)
+
+    np.testing.assert_array_equal(doubling(m), naive(m))
+    assert naive(m).any(), "fixture produced no 9-runs — weak test"
+
+
 def test_anms_spreads_points():
     rng = np.random.default_rng(1)
     # Cluster of strong points + spread of weaker ones: ANMS must not pick

@@ -42,6 +42,16 @@ def main() -> None:
     ap.add_argument("--out", type=str, default="endurance")
     ap.add_argument("--scale", type=int, default=1,
                     help="resolution divisor (1 = full KITTI res)")
+    ap.add_argument("--jitter", action="store_true",
+                    help="perturb lap-2+ rendering (pose ~0.1 m / 1 deg + "
+                    "brightness/noise) so revisits are NON-identical — "
+                    "BoW retrieval runs under real appearance change")
+    ap.add_argument("--compare-streaming", action="store_true",
+                    help="after the scan run, run the STREAMING driver "
+                    "(per-frame dispatch, immediate per-closure PGO + "
+                    "re-triangulation like the reference) on the same "
+                    "frames and record both ATEs — measures what the "
+                    "scan mode's deferred correction costs")
     args = ap.parse_args()
 
     import jax
@@ -80,24 +90,69 @@ def main() -> None:
     gt_poses = lap_poses[idx]
 
     # Big corridor so the circle (x in [0, 2r]) keeps wall clearance.
-    world = SyntheticWorld(
-        camera=cam, n_frames=L, seed=11, custom_poses=lap_poses,
-        half_w=max(3.0 * r, 18.0), end_z=max(6.0 * r, 260.0),
-    )
-    print(f"[endurance] rendering {L} unique lap frames at "
-          f"{cam.width}x{cam.height}...", flush=True)
+    world_kw = dict(half_w=max(3.0 * r, 18.0), end_z=max(6.0 * r, 260.0))
     t0 = time.perf_counter()
-    lefts, rights = [], []
-    for i in range(L):
-        l_im, r_im, _ = world.render(i)
-        lefts.append((l_im * 255).astype(np.uint8))
-        rights.append((r_im * 255).astype(np.uint8))
-        if i % 64 == 0:
-            print(f"  {i}/{L} ({time.perf_counter()-t0:.0f}s)", flush=True)
-    lap_left = np.stack(lefts)
-    lap_right = np.stack(rights)
-    left_seq = lap_left[idx]
-    right_seq = lap_right[idx]
+    if args.jitter:
+        # Every lap renders with its own pose perturbation; lap-2+ frames
+        # additionally get photometric jitter — revisits are no longer
+        # byte-identical to lap 1 (the appearance-change regime BoW
+        # retrieval exists to survive).
+        from ros_stereo_slam_tpu.data.synthetic import jitter_poses
+
+        n_laps = int(np.ceil(F / L))
+        rng = np.random.default_rng(17)
+        print(f"[endurance] rendering {F} JITTERED frames ({n_laps} laps) "
+              f"at {cam.width}x{cam.height}...", flush=True)
+        lefts, rights, gt_list = [], [], []
+        lap0_left = None
+        for lap_i in range(n_laps):
+            poses_l = (lap_poses if lap_i == 0 else jitter_poses(
+                lap_poses, rng, trans_m=0.1, rot_deg=1.0))
+            world = SyntheticWorld(
+                camera=cam, n_frames=L, seed=11, custom_poses=poses_l,
+                **world_kw,
+            )
+            for i in range(L):
+                if len(lefts) >= F:
+                    break
+                l_im, r_im, _ = world.render(i)
+                if lap_i > 0:
+                    b = rng.uniform(0.85, 1.15)
+                    noise = rng.normal(0, 0.02, l_im.shape).astype(
+                        l_im.dtype)
+                    l_im = np.clip(l_im * b + noise, 0, 1)
+                    r_im = np.clip(r_im * b + noise, 0, 1)
+                lefts.append((l_im * 255).astype(np.uint8))
+                rights.append((r_im * 255).astype(np.uint8))
+                gt_list.append(poses_l[i])
+                if len(lefts) % 64 == 0:
+                    print(f"  {len(lefts)}/{F} "
+                          f"({time.perf_counter()-t0:.0f}s)", flush=True)
+            if lap_i == 0:
+                lap0_left = np.stack(lefts[:L])
+        left_seq = np.stack(lefts)
+        right_seq = np.stack(rights)
+        gt_poses = np.stack(gt_list)
+        lap_left = lap0_left
+    else:
+        world = SyntheticWorld(
+            camera=cam, n_frames=L, seed=11, custom_poses=lap_poses,
+            **world_kw,
+        )
+        print(f"[endurance] rendering {L} unique lap frames at "
+              f"{cam.width}x{cam.height}...", flush=True)
+        lefts, rights = [], []
+        for i in range(L):
+            l_im, r_im, _ = world.render(i)
+            lefts.append((l_im * 255).astype(np.uint8))
+            rights.append((r_im * 255).astype(np.uint8))
+            if i % 64 == 0:
+                print(f"  {i}/{L} ({time.perf_counter()-t0:.0f}s)",
+                      flush=True)
+        lap_left = np.stack(lefts)
+        lap_right = np.stack(rights)
+        left_seq = lap_left[idx]
+        right_seq = lap_right[idx]
     print(f"[endurance] staged {left_seq.nbytes * 2 / 1e9:.2f} GB (uint8)",
           flush=True)
 
@@ -133,6 +188,38 @@ def main() -> None:
     n_kf = int(np.sum(res.is_keyframe))
     ok_frac = float(np.mean(res.tracking_ok))
 
+    streaming = None
+    if args.compare_streaming:
+        # The deferred-correction question (SURVEY §3.4): scan mode runs
+        # ONE PGO at the end, so post-closure frames keep tracking in the
+        # uncorrected frame; the streaming driver replicates the
+        # reference's immediate behavior (per-closure globalOptimize +
+        # map rewrite + re-triangulation at the optimized pose,
+        # src/VisualSLAM.cpp:76-146).  Running both on the SAME frames
+        # measures what deferral costs.
+        from ros_stereo_slam_tpu.models.slam import StereoSLAM
+
+        print("[endurance] streaming-driver comparison run...", flush=True)
+        t1 = time.perf_counter()
+        slam = StereoSLAM(config=cfg, vocab=voc)
+        slam.initialize(left_seq[0].astype(np.float32) / 255.0,
+                        right_seq[0].astype(np.float32) / 255.0)
+        for i in range(1, F):
+            slam.process_frame(left_seq[i].astype(np.float32) / 255.0,
+                               right_seq[i].astype(np.float32) / 255.0)
+            if i % 256 == 0:
+                print(f"  streaming {i}/{F} "
+                      f"({time.perf_counter()-t1:.0f}s)", flush=True)
+        stream_wall = time.perf_counter() - t1
+        ate_stream = metrics.ate_rmse(slam.trajectory_array(), gt_poses)
+        streaming = {
+            "ate_rmse_streaming_m": round(float(ate_stream), 4),
+            "streaming_loop_closures": len(slam.loop_events),
+            "streaming_wall_s": round(stream_wall, 1),
+            "deferred_vs_immediate_ate_delta_m": round(
+                float(ate) - float(ate_stream), 4),
+        }
+
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "metrics.jsonl"), "w") as f:
         for i in range(res.n_inliers.shape[0]):
@@ -158,7 +245,11 @@ def main() -> None:
         "wall_s_incl_compile": round(wall, 1),
         "fps_incl_compile": round(fps, 2),
         "platform": jax.devices()[0].platform,
+        "jitter": bool(args.jitter),
+        "detect_every": cfg.loop.detect_every,
     }
+    if streaming is not None:
+        summary.update(streaming)
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary, indent=2), flush=True)

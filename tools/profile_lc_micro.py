@@ -89,11 +89,29 @@ def mk_full(reps):
 
 
 def mk_orb(reps):
+    # n_levels matters: the production step runs the multi-scale pyramid
+    # (4 levels @1.25) — a single-level measurement here misattributed
+    # ~1.2 ms of multi-scale cost to "insert + gates residue" in round 2.
     @jax.jit
     def run():
         def body(c, i):
             f = orb_mod.detect_and_compute(
-                L[i % N + 1], lcc.orb_features, cfg.frontend.fast_thresh / 255.0
+                L[i % N + 1], lcc.orb_features,
+                cfg.frontend.fast_thresh / 255.0, n_levels=lcc.orb_levels,
+            )
+            return c + f.desc_sign[0, 0], 0.0
+        c, _ = lax.scan(body, jnp.float32(0), jnp.arange(reps))
+        return c
+    return run
+
+
+def mk_orb1(reps):
+    @jax.jit
+    def run():
+        def body(c, i):
+            f = orb_mod.detect_and_compute(
+                L[i % N + 1], lcc.orb_features,
+                cfg.frontend.fast_thresh / 255.0, n_levels=1,
             )
             return c + f.desc_sign[0, 0], 0.0
         c, _ = lax.scan(body, jnp.float32(0), jnp.arange(reps))
@@ -341,7 +359,8 @@ STAGES = {
     "bow": lambda: slope("  bow_sparse (argsort+scatter)", mk_bow),
     "score": lambda: slope("  dense scatter + db gather-min-sum", mk_score),
     "topk": lambda: slope("  top_k(db_cap, max_db_results)", mk_topk),
-    "orb": lambda: slope("orb.detect_and_compute", mk_orb),
+    "orb": lambda: slope("orb.detect_and_compute (multi-scale)", mk_orb),
+    "orb1": lambda: slope("orb.detect_and_compute (1 level)", mk_orb1),
     "fastscore": lambda: slope("  FAST score only", mk_fastscore),
     "fast": lambda: slope("  FAST score + top_corners", mk_fast),
     "anms": lambda: slope("  ANMS (4*nf candidates)", mk_anms),
