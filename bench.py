@@ -341,11 +341,14 @@ def main() -> None:
                     "TPU tunnel adds ±20%% run-to-run noise)")
     ap.add_argument("--preset",
                     choices=["headline", "odometry", "loop_closure",
-                             "mapping", "ba"],
+                             "mapping", "ba", "streaming"],
                     default="headline",
                     help="headline = odometry + full SLAM + streaming "
                     "breakdown (one merged JSON line); the named presets "
-                    "run a single BASELINE.json configuration")
+                    "run a single BASELINE.json configuration; streaming "
+                    "= the online-posture rows alone (useful with "
+                    "--platform cpu: same-machine comparison against the "
+                    "CPU baseline with no tunnel in the path)")
     ap.add_argument("--world", choices=["corridor", "revisit"],
                     default="corridor",
                     help="corridor (headline; no revisits, measures "
@@ -474,10 +477,18 @@ def main() -> None:
             })
         result.update(slam_row)
 
-    if args.preset == "headline" and not args.no_stream:
+    if (args.preset in ("headline", "streaming")) and not args.no_stream:
         result.update(
             bench_streaming(args, cfg, left_seq, right_seq, gt_poses)
         )
+        if args.preset == "streaming":
+            result.update({
+                "metric": "stream_chunk32_frames_per_sec",
+                "value": result["stream_chunk32_fps"],
+                "vs_baseline": round(
+                    result["stream_chunk32_fps"] / REFERENCE_CPU_FPS, 2),
+                "mode": "chunked-stream",
+            })
 
     print(json.dumps(result))
 
