@@ -91,12 +91,15 @@ def _render_world(args, cam):
                     custom_poses=poses_l,
                     half_w=max(3.0 * r, 18.0), end_z=max(6.0 * r, 260.0),
                 )
+                # per-LAP illumination + per-frame sensor noise (see
+                # tools/endurance_run.py: per-frame brightness flashes
+                # are a vibration regime, not an appearance-change one)
+                b = rng.uniform(0.85, 1.15) if lap_i > 0 else 1.0
                 for i in range(lap):
                     if len(gt) >= n_total:
                         break
                     l, rr, _ = world.render(i)
                     if lap_i > 0:  # photometric jitter on revisit laps
-                        b = rng.uniform(0.85, 1.15)
                         noise = rng.normal(0, 0.02, l.shape).astype(l.dtype)
                         l = np.clip(l * b + noise, 0, 1)
                         rr = np.clip(rr * b + noise, 0, 1)

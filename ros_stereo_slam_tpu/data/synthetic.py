@@ -274,31 +274,57 @@ def jitter_poses(
     rng: np.random.Generator,
     trans_m: float = 0.1,
     rot_deg: float = 1.0,
+    waves: int = 3,
 ) -> np.ndarray:
-    """Perturb each pose by a small random SE(3) offset (right-multiplied,
-    i.e. in the camera frame).
+    """Perturb each pose by a SMOOTH random SE(3) offset (right-multiplied,
+    i.e. in the camera frame) of RMS magnitude ~`trans_m` / `rot_deg`.
 
     Revisit benchmarks/endurance runs use this so a repeated lap is NOT
     pixel-identical to the first (the appearance/viewpoint-change regime
     the reference's BoW retrieval exists to survive,
     ``/root/reference/include/TemplatedLoopDetector.h:697-861``).
+
+    The offset varies as a low-frequency periodic signal along the lap
+    (a few random Fourier components per translation/rotation axis, so
+    the perturbation is also continuous across the lap wrap): every
+    revisit frame sees a ~`trans_m`/`rot_deg` viewpoint change vs the
+    original lap, while CONSECUTIVE frames stay physically trackable.
+    White-noise per-pose jitter (the first implementation) injects a
+    ±2*`trans_m` velocity discontinuity between every pair of frames —
+    a vibration regime no brightness-constancy tracker (OpenCV's LK
+    included) survives, and not the viewpoint-change regime this exists
+    to create.
     """
     out = np.array(poses, dtype=np.float64, copy=True)
-    rot_rad = np.deg2rad(rot_deg)
-    for i in range(out.shape[0]):
-        ax = rng.normal(size=3)
-        ax /= max(np.linalg.norm(ax), 1e-9)
-        th = rng.uniform(-rot_rad, rot_rad)
+    n = out.shape[0]
+    t = np.arange(n) / max(n, 1)  # [0, 1) lap phase
+
+    def smooth(scale: float) -> np.ndarray:
+        """(n, 3) periodic smooth noise, RMS ~= scale per component."""
+        sig = np.zeros((n, 3))
+        for c in range(3):
+            for k in range(1, waves + 1):
+                amp = rng.normal(0.0, 1.0)
+                phase = rng.uniform(0.0, 2.0 * np.pi)
+                sig[:, c] += amp * np.sin(2.0 * np.pi * k * t + phase)
+        rms = np.sqrt(np.mean(sig**2, axis=0, keepdims=True))
+        return sig / np.maximum(rms, 1e-9) * scale
+
+    dts = smooth(trans_m)
+    rvs = smooth(np.deg2rad(rot_deg))
+    for i in range(n):
+        rv = rvs[i]
+        th = np.linalg.norm(rv)
+        ax = rv / max(th, 1e-12)
         K = np.array([
             [0, -ax[2], ax[1]],
             [ax[2], 0, -ax[0]],
             [-ax[1], ax[0], 0],
         ])
         dR = np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
-        dt = rng.uniform(-trans_m, trans_m, size=3)
         dT = np.eye(4)
         dT[:3, :3] = dR
-        dT[:3, 3] = dt
+        dT[:3, 3] = dts[i]
         out[i] = out[i] @ dT
     return out
 

@@ -112,12 +112,16 @@ def main() -> None:
                 camera=cam, n_frames=L, seed=11, custom_poses=poses_l,
                 **world_kw,
             )
+            # One illumination level per lap (exposure drifts between
+            # visits, not between consecutive frames — per-frame ±15 %
+            # flashes would break brightness constancy for ANY tracker,
+            # OpenCV's LK included) + mild per-frame sensor noise.
+            b = rng.uniform(0.85, 1.15) if lap_i > 0 else 1.0
             for i in range(L):
                 if len(lefts) >= F:
                     break
                 l_im, r_im, _ = world.render(i)
                 if lap_i > 0:
-                    b = rng.uniform(0.85, 1.15)
                     noise = rng.normal(0, 0.02, l_im.shape).astype(
                         l_im.dtype)
                     l_im = np.clip(l_im * b + noise, 0, 1)
