@@ -265,6 +265,22 @@ class PoseGraph:
         self.odo_Z = self.odo_Z.at[self.count].set(Z)
         self.count += 1
 
+    def add_odometry_batch(self, Z: jnp.ndarray):
+        """Append `Z.shape[0]` vertices in one device update — the chunked
+        online driver pushes a whole micro-batch of odometry edges per
+        dispatch instead of one ``.at[].set`` per frame."""
+        n = Z.shape[0]
+        if self.count + n > self.config.max_poses:
+            raise RuntimeError(
+                f"pose-graph capacity exhausted ({self.config.max_poses} "
+                "poses); raise PGOConfig.max_poses"
+            )
+        self.odo_Z = jax.lax.dynamic_update_slice(
+            self.odo_Z, jnp.asarray(Z, self.odo_Z.dtype),
+            (self.count, 0, 0),
+        )
+        self.count += n
+
     def add_loop(self, i: int, j: int, Z: jnp.ndarray | None = None):
         """Loop edge; Z defaults to identity (reference semantics).
 

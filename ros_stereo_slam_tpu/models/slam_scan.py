@@ -198,8 +198,14 @@ def run_sequence_slam(
     cfg: PipelineConfig,
     vocab_k: int,
     rgb_seq: jnp.ndarray | None = None,
+    fid_start=1,
 ):
-    """Odometry + on-device loop detection for a whole sequence: ONE scan."""
+    """Odometry + on-device loop detection for a whole sequence: ONE scan.
+
+    `fid_start`: global frame id of row 0 (traced scalar, so the chunked
+    online driver reuses one compilation for every chunk position;
+    defaults to 1 — frame 0 is the bootstrap).
+    """
     every = max(cfg.loop.detect_every, 1)
 
     def body(c, xs):
@@ -225,12 +231,126 @@ def run_sequence_slam(
             )
         return (sc, lcs), (fstats, lstats)
 
-    fids = jnp.arange(1, left_seq.shape[0] + 1, dtype=jnp.int32)
+    fids = jnp.int32(fid_start) + jnp.arange(
+        left_seq.shape[0], dtype=jnp.int32
+    )
     xs = (
         (left_seq, right_seq, fids) if rgb_seq is None
         else (left_seq, right_seq, fids, rgb_seq)
     )
     return lax.scan(body, (carry, lc), xs)
+
+
+class EpilogueGater:
+    """Replays the streaming gate chain over scan-emitted candidate rows.
+
+    Shared by the offline epilogue (:func:`run_offline_slam`) and the
+    chunked online driver (:mod:`~ros_stereo_slam_tpu.models.
+    slam_chunked`): nss/alpha/island gates (via
+    :class:`loop_closure.CandidateGater` — identical semantics to the
+    streaming detector), per-candidate geometric verification, then the
+    driver accept rule (query − match > min_separation, cooldown;
+    ``/root/reference/src/optimizationStuff.cpp:59-63``).  Ordering
+    matters: the geometric check runs BEFORE the cooldown is armed — a
+    gate candidate that fails geometry must NOT suppress detection on
+    the following frames.
+
+    Stateful across calls (cooldown, temporal window, PRNG key), so one
+    instance processes an arbitrary split of the sequence into blocks.
+    """
+
+    def __init__(self, cfg: PipelineConfig, key):
+        self.cfg = cfg
+        self.lcc = cfg.loop
+        self.every = max(cfg.loop.detect_every, 1)
+        self.gater = lc_mod.CandidateGater(cfg.loop, stride=self.every)
+        self.cooldown = 0
+        self.key = key
+
+    def process(self, lc: LCScanState, top_ids, top_scores, ns_arr,
+                fid_start: int) -> list:
+        """Gate one block of per-frame shortlists (host numpy arrays).
+
+        `fid_start` is the global frame id of row 0.  Returns accepted
+        closures as (fid, match_id, best_idx, inlier_mask, n_inliers).
+        """
+        lcc = self.lcc
+        cap = lcc.db_capacity
+        accepted = []
+        for i in range(top_ids.shape[0]):
+            fid = fid_start + i
+            if self.cooldown > 0:
+                self.cooldown -= 1
+                skip_for_cooldown = True
+            else:
+                skip_for_cooldown = False
+            if fid % self.every != 0 or fid <= lcc.dislocal:
+                continue
+            gated = self.gater.gate(
+                fid, top_ids[i], top_scores[i], float(ns_arr[i])
+            )
+            if skip_for_cooldown or gated is None:
+                continue
+            best_id, _, _ = gated
+            # geometric verification (same op the streaming detector
+            # runs; rare, so a per-candidate device call is fine here)
+            self.key, k = jax.random.split(self.key)
+            n_inl_d, bi_d, im_d = lc_mod._geom_match(
+                lc.db_bits[fid % cap], lc.db_pts[fid % cap],
+                lc.db_pt_valid[fid % cap],
+                lc.db_bits[best_id % cap], lc.db_pts[best_id % cap],
+                lc.db_pt_valid[best_id % cap],
+                k, jnp.float32(lcc.geom_thresh_px),
+                jnp.float32(lcc.neigh_ratio),
+                iters=lcc.geom_ransac_iters,
+            )
+            n_inl = int(n_inl_d)
+            if n_inl < lcc.geom_min_points:
+                continue
+            # driver accept rule (optimizationStuff.cpp:59-63)
+            if fid - best_id <= lcc.min_separation:
+                continue
+            self.cooldown = lcc.cooldown
+            accepted.append((fid, best_id, np.asarray(bi_d),
+                             np.asarray(im_d), n_inl))
+        return accepted
+
+
+def measure_loop_edges(
+    accepted: list, lc: LCScanState, left_seq, right_seq,
+    cfg: PipelineConfig, key,
+) -> list:
+    """Accepted closures -> (i, j, Z) pose-graph edges + loop events.
+
+    PnP-measured edges when configured (identity fallback to ``match-1``,
+    the reference's shipped semantics, ``poseGraph.h:113-126``).
+    Returns (loop_events, loop_edges).
+    """
+    loop_events, loop_edges = [], []
+    if not accepted:
+        return loop_events, loop_edges
+    if cfg.loop.edge_measurement == "pnp":
+        sel = [(q, m) for q, m, _, _, _ in accepted]
+        sel_geom = (
+            np.asarray([a[4] for a in accepted]),
+            np.stack([a[2] for a in accepted]),
+            np.stack([a[3] for a in accepted]),
+        )
+        Zs = _measure_edges_pnp(
+            (lc.db_pts, lc.db_pt_valid), sel, sel_geom,
+            left_seq, right_seq, cfg, key,
+        )
+    else:
+        Zs = [None] * len(accepted)
+    for (q, m, _, _, n_inl), Z in zip(accepted, Zs):
+        loop_events.append((q, m, n_inl))
+        if Z is None:
+            # reference identity-closure semantics: edge to the vertex
+            # BEFORE the match (poseGraph.h:113-126)
+            loop_edges.append((q, max(m - 1, 0), np.eye(4)))
+        else:
+            loop_edges.append((q, m, Z))
+    return loop_events, loop_edges
 
 
 @dataclass
@@ -341,79 +461,15 @@ def run_offline_slam(
     )
 
     # ---- epilogue: gates -> geometric check -> accept -> PGO ----
-    # Ordering matters and mirrors the streaming driver exactly
-    # (slam.py::_detect_loop): the geometric check runs BEFORE the
-    # cooldown is armed — a gate candidate that fails geometry must NOT
-    # suppress detection on the following frames.
-    lcc = cfg.loop
-    every = max(lcc.detect_every, 1)
-    top_ids = np.asarray(lstats.top_ids)
-    top_scores = np.asarray(lstats.top_scores)
-    ns_arr = np.asarray(lstats.ns)
-    gater = lc_mod.CandidateGater(lcc, stride=every)
-    lc_arrays = (lc.db_pts, lc.db_pt_valid)
-    key = jax.random.PRNGKey(cfg.seed + 7)
-    cap = lcc.db_capacity
-    cooldown = 0
-    loop_events = []
-    loop_edges = []  # (i, j, Z)
-    accepted = []  # (q, m, best_idx, inl_mask, n_inl)
-    for i in range(top_ids.shape[0]):
-        fid = i + 1
-        if cooldown > 0:
-            cooldown -= 1
-            skip_for_cooldown = True
-        else:
-            skip_for_cooldown = False
-        if fid % every != 0 or fid <= lcc.dislocal:
-            continue
-        gated = gater.gate(fid, top_ids[i], top_scores[i], float(ns_arr[i]))
-        if skip_for_cooldown or gated is None:
-            continue
-        best_id, _, _ = gated
-        # geometric verification (same op the streaming detector runs;
-        # rare, so a per-candidate device call is fine here)
-        key, k = jax.random.split(key)
-        n_inl_d, bi_d, im_d = lc_mod._geom_match(
-            lc.db_bits[fid % cap], lc.db_pts[fid % cap],
-            lc.db_pt_valid[fid % cap],
-            lc.db_bits[best_id % cap], lc.db_pts[best_id % cap],
-            lc.db_pt_valid[best_id % cap],
-            k, jnp.float32(lcc.geom_thresh_px), jnp.float32(lcc.neigh_ratio),
-            iters=lcc.geom_ransac_iters,
-        )
-        n_inl = int(n_inl_d)
-        if n_inl < lcc.geom_min_points:
-            continue
-        # driver accept rule (optimizationStuff.cpp:59-63)
-        if fid - best_id <= lcc.min_separation:
-            continue
-        cooldown = lcc.cooldown
-        accepted.append((fid, best_id, np.asarray(bi_d), np.asarray(im_d),
-                         n_inl))
-
-    if accepted:
-        if lcc.edge_measurement == "pnp":
-            sel = [(q, m) for q, m, _, _, _ in accepted]
-            sel_geom = (
-                np.asarray([a[4] for a in accepted]),
-                np.stack([a[2] for a in accepted]),
-                np.stack([a[3] for a in accepted]),
-            )
-            Zs = _measure_edges_pnp(
-                lc_arrays, sel, sel_geom, left_seq, right_seq, cfg,
-                jax.random.PRNGKey(cfg.seed + 13),
-            )
-        else:
-            Zs = [None] * len(accepted)
-        for (q, m, _, _, n_inl), Z in zip(accepted, Zs):
-            loop_events.append((q, m, n_inl))
-            if Z is None:
-                # reference identity-closure semantics: edge to the
-                # vertex BEFORE the match (poseGraph.h:113-126)
-                loop_edges.append((q, max(m - 1, 0), np.eye(4)))
-            else:
-                loop_edges.append((q, m, Z))
+    gate = EpilogueGater(cfg, jax.random.PRNGKey(cfg.seed + 7))
+    accepted = gate.process(
+        lc, np.asarray(lstats.top_ids), np.asarray(lstats.top_scores),
+        np.asarray(lstats.ns), fid_start=1,
+    )
+    loop_events, loop_edges = measure_loop_edges(
+        accepted, lc, left_seq, right_seq, cfg,
+        jax.random.PRNGKey(cfg.seed + 13),
+    )
 
     trajectory = traj_odo
     keyframes = carry.keyframes

@@ -224,6 +224,47 @@ def test_scan_stats_match_streaming_detector(scan_run):
         )
 
 
+def test_chunked_online_driver(scan_run):
+    """The chunked ONLINE driver (models/slam_chunked.py): same frames in
+    32->16-frame micro-batches with per-chunk gates + immediate PGO
+    correction of the live carry.
+
+    Detection is image-driven (ORB/BoW/db never see poses), the gate
+    chain is the shared EpilogueGater, and the geometric check consumes
+    the same db features with the same PRNG stream — so the accepted
+    closures must EXACTLY match the offline epilogue's.  The live
+    trajectory must beat raw odometry, and the exported keyframe store
+    must follow the live trajectory (reference VisualSLAM.cpp:120-146
+    immediate-correction semantics)."""
+    from ros_stereo_slam_tpu.models.slam_chunked import run_online_slam
+
+    world, cfg, voc, L, res = scan_run
+    R = np.stack(
+        [world.render(i)[1] for i in range(world.n_frames)]
+    ).astype(np.float32)
+    out = run_online_slam(cfg, voc, L, R, chunk=16)
+    assert out.tracking_ok.all()
+    assert out.n_chunks == -(-(world.n_frames - 1) // 16)
+    assert out.n_corrections >= 1
+    assert [(q, m) for q, m, _ in out.loop_events] == [
+        (q, m) for q, m, _ in res.loop_events
+    ], "chunked driver must accept exactly the offline epilogue's closures"
+
+    gt = world.poses[: out.trajectory.shape[0]]
+    ate_odo = metrics.ate_rmse(res.trajectory_odo, gt, align=True)
+    ate = metrics.ate_rmse(out.trajectory, gt, align=True)
+    assert ate < ate_odo, (ate, ate_odo)
+    assert ate < 0.25, f"chunked online ATE {ate:.3f} m"
+
+    kf = out.keyframes
+    valid = np.asarray(kf.valid)
+    fidx = np.asarray(kf.frame_idx)[valid]
+    np.testing.assert_allclose(
+        np.asarray(kf.poses)[valid], out.trajectory[fidx], atol=1e-4,
+        err_msg="keyframe poses must follow the live corrected trajectory",
+    )
+
+
 def test_orb_pallas_kernel_matches_oracle():
     """Pallas ORB descriptor kernel (interpret mode) vs the jnp path:
     same corners, near-identical descriptor bits."""
