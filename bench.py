@@ -232,7 +232,38 @@ def bench_full_slam(args, cam, left_seq, right_seq, gt_poses):
     ate = metrics.ate_rmse(
         res.trajectory, gt_poses[: res.trajectory.shape[0]]
     )
-    return fps, float(ate), res, cfg, voc
+
+    # Online posture: the same scan step in 32-frame micro-batches with
+    # per-chunk gates + immediate PGO correction of the live carry
+    # (models/slam_chunked.py) — correction latency <= chunk length,
+    # reference immediate-correction semantics.  Frames pre-staged as
+    # uint8 (the compute posture; transfers decompose separately, see
+    # bench_streaming).  Timed region includes the per-chunk host gate
+    # work and D2H stat fetches — the honest online number.
+    from ros_stereo_slam_tpu.models.slam_chunked import run_online_slam
+
+    l8 = jax.device_put(jnp.asarray(
+        np.clip(left_seq * 255.0, 0, 255).astype(np.uint8)))
+    r8 = jax.device_put(jnp.asarray(
+        np.clip(right_seq * 255.0, 0, 255).astype(np.uint8)))
+    jax.block_until_ready((l8, r8))
+    print("[bench] online (chunked) SLAM: compile + first run...",
+          file=sys.stderr)
+    run_online_slam(cfg, voc, l8, r8, chunk=32)
+    print("[bench] timed runs...", file=sys.stderr)
+    ores, odt = _time_best(
+        lambda: run_online_slam(cfg, voc, l8, r8, chunk=32), args.reps
+    )
+    online = {
+        "slam_online_fps": round(args.frames / odt, 2),
+        "slam_online_vs_baseline": round(
+            args.frames / odt / REFERENCE_CPU_FULL_FPS, 2),
+        "slam_online_ate_rmse_m": round(float(metrics.ate_rmse(
+            ores.trajectory, gt_poses[: ores.trajectory.shape[0]])), 4),
+        "slam_online_chunk": 32,
+        "slam_online_corrections": ores.n_corrections,
+    }
+    return fps, float(ate), res, cfg, voc, online
 
 
 def bench_streaming(args, cfg, left_seq, right_seq, gt_poses):
@@ -458,7 +489,7 @@ def main() -> None:
         })
 
     if args.preset in ("headline", "loop_closure"):
-        s_fps, s_ate, s_res, s_cfg, s_voc = bench_full_slam(
+        s_fps, s_ate, s_res, s_cfg, s_voc, s_online = bench_full_slam(
             args, cam, left_seq, right_seq, gt_poses
         )
         slam_row = {
@@ -469,6 +500,7 @@ def main() -> None:
             "vocab_words": s_voc.n_words,
             "db_capacity": s_cfg.loop.db_capacity,
             "detect_every": s_cfg.loop.detect_every,
+            **s_online,
         }
         if args.preset == "loop_closure":
             result.update({

@@ -25,12 +25,15 @@ length; per-frame dispatch overhead is amortized 32x.
 
 The micro-batch scan compiles ONCE: chunk shape is static, the global
 frame id enters as a traced scalar (``fid_start``), and the carry/database
-pytrees are shape-stable across chunks.
+pytrees are shape-stable across chunks.  :class:`ChunkedSLAM` is the
+incremental API (feed chunks as they arrive — e.g. from the native
+prefetch loader); :func:`run_online_slam` wraps it for a whole staged
+sequence.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
@@ -42,7 +45,6 @@ from ros_stereo_slam_tpu.models import slam_scan
 from ros_stereo_slam_tpu.models import step as step_mod
 from ros_stereo_slam_tpu.models import vocab as vocab_mod
 from ros_stereo_slam_tpu.ops import pyramid
-from ros_stereo_slam_tpu.utils import lie
 
 
 @dataclass
@@ -57,55 +59,211 @@ class ChunkedSlamResult:
     n_chunks: int
 
 
-def _correct_carry(
-    carry: step_mod.SlamCarry,
-    T_opt: jnp.ndarray,
-    new_poses: jnp.ndarray,
-    old_poses: jnp.ndarray,
-    right_img,
-    grid_pts,
-    grid_mask,
-    cfg: PipelineConfig,
-    rgb_img=None,
-) -> step_mod.SlamCarry:
-    """Apply a PGO result to the live carry (reference ``VisualSLAM.cpp``
-    :120-146 semantics, as the streaming driver implements them):
-    keyframe clouds/poses follow the corrected trajectory, the live
-    feature set is re-triangulated at the optimized pose, and tracking
-    continues from there."""
-    kf = carry.keyframes
-    new_points = pg_mod.rewrite_points(
-        kf.points, kf.frame_idx, old_poses, new_poses
-    )
-    kf = kf._replace(
-        points=new_points,
-        poses=new_poses[kf.frame_idx],
-        retrack=kf.retrack | kf.valid,
-    )
-    left_pyr = carry.ref_pyr
-    if len(left_pyr) < cfg.frontend.lk_levels:
-        left_pyr = tuple(
-            pyramid.build_pyramid(left_pyr[0], cfg.frontend.lk_levels)
+@dataclass
+class ChunkedSLAM:
+    """Incremental chunked online SLAM (see module docstring).
+
+    Usage::
+
+        slam = ChunkedSLAM(cfg, vocab)
+        slam.initialize(left0, right0)
+        for each block of frames:            # equal-length blocks compile once
+            slam.process_chunk(lefts, rights)
+        traj = slam.trajectory_array()
+    """
+
+    config: PipelineConfig
+    vocab: vocab_mod.Vocabulary
+    frame_count: int = field(init=False, default=0)
+
+    def __post_init__(self):
+        from ros_stereo_slam_tpu.models.pipeline import _grid_for
+
+        cfg = self.config
+        self.grid_pts, self.grid_mask = _grid_for(cfg)
+        self._centers = tuple(self.vocab.centers)
+        self._idf = jnp.asarray(self.vocab.idf)
+        self._carry = None
+        self._lc = None
+        self.graph = pg_mod.PoseGraph(cfg.pgo)
+        self.trajectory_dev = jnp.tile(
+            jnp.eye(4, dtype=jnp.float32), (cfg.pgo.max_poses, 1, 1)
         )
-    if right_img.dtype == jnp.uint8:
-        right_img = right_img.astype(jnp.float32) * (1.0 / 255.0)
-    right_pyr = tuple(pyramid.build_pyramid(right_img, cfg.frontend.lk_levels))
-    key = jax.random.fold_in(carry.key, 1234)
-    new_track, r_uv, r_mask = step_mod._bootstrap_track(
-        left_pyr, right_pyr, grid_pts, grid_mask, T_opt, key, cfg,
-        left_rgb=rgb_img,
-    )
-    kf = step_mod._insert_keyframe(
-        kf, new_track, T_opt, carry.frame_idx - 1
-    )
-    new_ba = (
-        step_mod._ba_reset(new_track, r_uv, r_mask, T_opt, new_track.pts2d,
-                           cfg)
-        if cfg.ba_enabled
-        else None
-    )
-    return carry._replace(track=new_track, T_wc=T_opt, keyframes=kf,
-                          ba=new_ba)
+        self.gate = slam_scan.EpilogueGater(
+            cfg, jax.random.PRNGKey(cfg.seed + 7)
+        )
+        self._edge_key = jax.random.PRNGKey(cfg.seed + 13)
+        self.loop_events: list = []
+        self.n_corrections = 0
+        self._n_inl, self._is_kf, self._ok = [], [], []
+
+    @staticmethod
+    def _stage_dtype(arr):
+        return jnp.uint8 if arr.dtype == np.uint8 else jnp.float32
+
+    def initialize(self, left0, right0, rgb0=None) -> None:
+        cfg = self.config
+        sd = self._stage_dtype(left0)
+        l0 = jnp.asarray(left0, sd)
+        r0 = jnp.asarray(right0, sd)
+        self._carry = step_mod.init_carry(
+            l0, r0, self.grid_pts, self.grid_mask,
+            jax.random.PRNGKey(cfg.seed), cfg,
+            left_rgb=None if rgb0 is None else jnp.asarray(rgb0),
+        )
+        self._lc = slam_scan.init_lc_state(cfg, self.vocab.n_words)
+        self._lc, _ = slam_scan._lc_scan_step_jit(
+            self._lc, l0, jnp.int32(0), self._centers, self._idf, cfg,
+            self.vocab.k,
+        )
+        self.graph.initialize()
+        self._prev_T = self._carry.T_wc
+        self.frame_count = 1
+
+    def process_chunk(self, lefts, rights, rgbs=None,
+                      query_frames=None) -> int:
+        """Run one micro-batch of frames; returns closures accepted.
+
+        `lefts`/`rights`: (C, H, W) device or host arrays (uint8 or f32).
+        `query_frames`: optional callable ``fid -> (left, right)`` host
+        frames for the PnP loop-edge measurement; defaults to indexing
+        this chunk (edges whose query frame is inside it — always true,
+        candidates are emitted by the frames of this chunk).
+        """
+        cfg = self.config
+        pos = self.frame_count
+        sd = self._stage_dtype(lefts)
+        ls = jnp.asarray(lefts, sd)
+        rs = jnp.asarray(rights, sd)
+        rgb = None if rgbs is None else jnp.asarray(rgbs)
+        (self._carry, self._lc), (fstats, lstats) = (
+            slam_scan.run_sequence_slam(
+                ls, rs, self._carry, self._lc, self.grid_pts,
+                self.grid_mask, self._centers, self._idf, cfg,
+                self.vocab.k, rgb_seq=rgb, fid_start=jnp.int32(pos),
+            )
+        )
+        n = ls.shape[0]
+        # ONE host round trip per chunk: poses + detection shortlists.
+        T_np, top_ids, top_scores, ns_arr, n_inl_np, is_kf_np, ok_np = (
+            jax.device_get((
+                fstats.T_wc, lstats.top_ids, lstats.top_scores, lstats.ns,
+                fstats.n_inliers, fstats.is_keyframe, fstats.tracking_ok,
+            ))
+        )
+        self._n_inl.append(n_inl_np)
+        self._is_kf.append(is_kf_np)
+        self._ok.append(ok_np)
+        # odometry edges: raw measured relative motions prev^-1 cur
+        chain = np.concatenate(
+            [np.asarray(self._prev_T)[None], T_np], axis=0
+        )
+        Zs = np.einsum(
+            "fij,fjk->fik", np.linalg.inv(chain[:-1]), chain[1:]
+        )
+        self.graph.add_odometry_batch(Zs)
+        self.trajectory_dev = jax.lax.dynamic_update_slice(
+            self.trajectory_dev, jnp.asarray(T_np, jnp.float32),
+            (pos, 0, 0),
+        )
+        self._prev_T = self._carry.T_wc
+        self.frame_count = pos + n
+
+        accepted = self.gate.process(
+            self._lc, top_ids, top_scores, ns_arr, fid_start=pos
+        )
+        if accepted:
+            if query_frames is None:
+                def query_frames(fid):
+                    return lefts[fid - pos], rights[fid - pos]
+            self._edge_key, ek = jax.random.split(self._edge_key)
+            events, edges = slam_scan.measure_loop_edges(
+                accepted, self._lc, query_frames, cfg, ek,
+            )
+            self.loop_events.extend(events)
+            for (i, j, Z) in edges:
+                self.graph.add_loop(i, j, jnp.asarray(Z, jnp.float32))
+            old_poses = self.trajectory_dev
+            new_poses = self.graph.optimize(old_poses)
+            T_opt = new_poses[self.frame_count - 1]
+            self._apply_correction(
+                T_opt, new_poses, old_poses, rs[-1],
+                rgb_img=None if rgb is None else rgb[-1],
+            )
+            self.trajectory_dev = new_poses
+            self._prev_T = T_opt
+            self.n_corrections += 1
+        return len(accepted)
+
+    def _apply_correction(self, T_opt, new_poses, old_poses, right_img,
+                          rgb_img=None) -> None:
+        """Apply a PGO result to the live carry (reference
+        ``VisualSLAM.cpp:120-146`` semantics, as the streaming driver
+        implements them): keyframe clouds/poses follow the corrected
+        trajectory, the live feature set is re-triangulated at the
+        optimized pose, and tracking continues from there."""
+        cfg = self.config
+        carry = self._carry
+        kf = carry.keyframes
+        new_points = pg_mod.rewrite_points(
+            kf.points, kf.frame_idx, old_poses, new_poses
+        )
+        kf = kf._replace(
+            points=new_points,
+            poses=new_poses[kf.frame_idx],
+            retrack=kf.retrack | kf.valid,
+        )
+        left_pyr = carry.ref_pyr
+        if len(left_pyr) < cfg.frontend.lk_levels:
+            left_pyr = tuple(
+                pyramid.build_pyramid(left_pyr[0], cfg.frontend.lk_levels)
+            )
+        if right_img.dtype == jnp.uint8:
+            right_img = right_img.astype(jnp.float32) * (1.0 / 255.0)
+        right_pyr = tuple(
+            pyramid.build_pyramid(right_img, cfg.frontend.lk_levels)
+        )
+        key = jax.random.fold_in(carry.key, 1234)
+        new_track, r_uv, r_mask = step_mod._bootstrap_track(
+            left_pyr, right_pyr, self.grid_pts, self.grid_mask, T_opt,
+            key, cfg, left_rgb=rgb_img,
+        )
+        kf = step_mod._insert_keyframe(
+            kf, new_track, T_opt, carry.frame_idx - 1
+        )
+        new_ba = (
+            step_mod._ba_reset(new_track, r_uv, r_mask, T_opt,
+                               new_track.pts2d, cfg)
+            if cfg.ba_enabled
+            else None
+        )
+        self._carry = carry._replace(
+            track=new_track, T_wc=T_opt, keyframes=kf, ba=new_ba
+        )
+
+    # -- outputs -----------------------------------------------------------
+
+    def trajectory_array(self) -> np.ndarray:
+        return np.asarray(self.trajectory_dev[: self.frame_count])
+
+    @property
+    def keyframes(self):
+        return self._carry.keyframes
+
+    def result(self, n_chunks: int = 0) -> ChunkedSlamResult:
+        return ChunkedSlamResult(
+            trajectory=self.trajectory_array(),
+            loop_events=self.loop_events,
+            n_corrections=self.n_corrections,
+            n_inliers=np.concatenate(self._n_inl) if self._n_inl
+            else np.zeros((0,), np.int32),
+            is_keyframe=np.concatenate(self._is_kf) if self._is_kf
+            else np.zeros((0,), bool),
+            tracking_ok=np.concatenate(self._ok) if self._ok
+            else np.zeros((0,), bool),
+            keyframes=self._carry.keyframes,
+            n_chunks=n_chunks,
+        )
 
 
 def run_online_slam(
@@ -115,127 +273,34 @@ def run_online_slam(
     right_seq,
     chunk: int = 32,
     rgb_seq=None,
-    prestage: bool = True,
 ) -> ChunkedSlamResult:
-    """Online full SLAM over a sequence in `chunk`-frame micro-batches.
+    """Online full SLAM over a staged sequence in `chunk`-frame batches.
 
-    `left_seq`/`right_seq`: (F, H, W) host arrays (uint8 or f32).  With
-    `prestage` the whole stack is staged to HBM up front (the
-    compute-throughput measurement); without, each chunk is transferred
-    as it is consumed (the transfer-inclusive online posture — callers
-    wanting overlap should double-buffer like ``bench.bench_streaming``).
-
+    `left_seq`/`right_seq`: (F, H, W) host or device arrays (uint8 or
+    f32) — device stacks measure the compute posture (transfers
+    decomposed separately by ``bench.bench_streaming``-style callers).
     Frames beyond the last full chunk run as one shorter tail dispatch
     (a second compilation, paid once).
     """
-    from ros_stereo_slam_tpu.models.pipeline import _grid_for
-
-    grid_pts, grid_mask = _grid_for(cfg)
-    stage_dtype = (jnp.uint8 if left_seq.dtype == np.uint8 else jnp.float32)
     F = left_seq.shape[0]
-
-    l0 = jnp.asarray(left_seq[0], stage_dtype)
-    r0 = jnp.asarray(right_seq[0], stage_dtype)
-    rgb0 = None if rgb_seq is None else jnp.asarray(rgb_seq[0])
-    carry = step_mod.init_carry(
-        l0, r0, grid_pts, grid_mask, jax.random.PRNGKey(cfg.seed), cfg,
-        left_rgb=rgb0,
-    )
-    lc = slam_scan.init_lc_state(cfg, vocab.n_words)
-    lc, _ = slam_scan._lc_scan_step_jit(
-        lc, l0, jnp.int32(0), tuple(vocab.centers),
-        jnp.asarray(vocab.idf), cfg, vocab.k,
+    slam = ChunkedSLAM(cfg, vocab)
+    slam.initialize(
+        left_seq[0], right_seq[0],
+        rgb0=None if rgb_seq is None else rgb_seq[0],
     )
 
-    if prestage:
-        ls_all = jax.device_put(jnp.asarray(left_seq[1:], stage_dtype))
-        rs_all = jax.device_put(jnp.asarray(right_seq[1:], stage_dtype))
-        rgb_all = (None if rgb_seq is None
-                   else jax.device_put(jnp.asarray(rgb_seq[1:])))
-        jax.block_until_ready((ls_all, rs_all))
+    def host_query(fid):
+        return left_seq[fid], right_seq[fid]
 
-    graph = pg_mod.PoseGraph(cfg.pgo)
-    graph.initialize()
-    traj = jnp.tile(jnp.eye(4, dtype=jnp.float32), (cfg.pgo.max_poses, 1, 1))
-    gate = slam_scan.EpilogueGater(cfg, jax.random.PRNGKey(cfg.seed + 7))
-    edge_key = jax.random.PRNGKey(cfg.seed + 13)
-
-    centers = tuple(vocab.centers)
-    idf = jnp.asarray(vocab.idf)
-    loop_events = []
-    n_corrections = 0
-    n_inl_blocks, is_kf_blocks, ok_blocks = [], [], []
-    prev_T = carry.T_wc
-
-    pos = 1  # global frame id of the next unprocessed row
+    pos = 1
     n_chunks = 0
     while pos < F:
         n = min(chunk, F - pos)
-        if prestage:
-            ls = jax.lax.dynamic_slice_in_dim(ls_all, pos - 1, n)
-            rs = jax.lax.dynamic_slice_in_dim(rs_all, pos - 1, n)
-            rgbs = (None if rgb_seq is None
-                    else jax.lax.dynamic_slice_in_dim(rgb_all, pos - 1, n))
-        else:
-            ls = jnp.asarray(left_seq[pos:pos + n], stage_dtype)
-            rs = jnp.asarray(right_seq[pos:pos + n], stage_dtype)
-            rgbs = (None if rgb_seq is None
-                    else jnp.asarray(rgb_seq[pos:pos + n]))
-        (carry, lc), (fstats, lstats) = slam_scan.run_sequence_slam(
-            ls, rs, carry, lc, grid_pts, grid_mask, centers, idf,
-            cfg, vocab.k, rgb_seq=rgbs, fid_start=jnp.int32(pos),
+        slam.process_chunk(
+            left_seq[pos:pos + n], right_seq[pos:pos + n],
+            rgbs=None if rgb_seq is None else rgb_seq[pos:pos + n],
+            query_frames=host_query,
         )
         n_chunks += 1
-        # ONE host round trip per chunk: poses + detection shortlists.
-        T_np, top_ids, top_scores, ns_arr, n_inl_np, is_kf_np, ok_np = (
-            jax.device_get((
-                fstats.T_wc, lstats.top_ids, lstats.top_scores, lstats.ns,
-                fstats.n_inliers, fstats.is_keyframe, fstats.tracking_ok,
-            ))
-        )
-        n_inl_blocks.append(n_inl_np)
-        is_kf_blocks.append(is_kf_np)
-        ok_blocks.append(ok_np)
-        # odometry edges: raw measured relative motions prev^-1 cur
-        chain = np.concatenate([np.asarray(prev_T)[None], T_np], axis=0)
-        Zs = np.einsum("fij,fjk->fik", np.linalg.inv(chain[:-1]), chain[1:])
-        graph.add_odometry_batch(Zs)
-        traj = jax.lax.dynamic_update_slice(
-            traj, jnp.asarray(T_np, jnp.float32), (pos, 0, 0)
-        )
-        prev_T = carry.T_wc
-
-        accepted = gate.process(lc, top_ids, top_scores, ns_arr,
-                                fid_start=pos)
-        if accepted:
-            edge_key, ek = jax.random.split(edge_key)
-            events, edges = slam_scan.measure_loop_edges(
-                accepted, lc, left_seq, right_seq, cfg, ek,
-            )
-            loop_events.extend(events)
-            for (i, j, Z) in edges:
-                graph.add_loop(i, j, jnp.asarray(Z, jnp.float32))
-            old_poses = traj
-            new_poses = graph.optimize(old_poses)
-            last_fid = pos + n - 1
-            T_opt = new_poses[last_fid]
-            carry = _correct_carry(
-                carry, T_opt, new_poses, old_poses,
-                rs[-1], grid_pts, grid_mask, cfg,
-                rgb_img=None if rgbs is None else rgbs[-1],
-            )
-            traj = new_poses
-            prev_T = T_opt
-            n_corrections += 1
         pos += n
-
-    return ChunkedSlamResult(
-        trajectory=np.asarray(traj[:F]),
-        loop_events=loop_events,
-        n_corrections=n_corrections,
-        n_inliers=np.concatenate(n_inl_blocks),
-        is_keyframe=np.concatenate(is_kf_blocks),
-        tracking_ok=np.concatenate(ok_blocks),
-        keyframes=carry.keyframes,
-        n_chunks=n_chunks,
-    )
+    return slam.result(n_chunks=n_chunks)

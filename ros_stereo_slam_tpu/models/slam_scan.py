@@ -317,13 +317,13 @@ class EpilogueGater:
 
 
 def measure_loop_edges(
-    accepted: list, lc: LCScanState, left_seq, right_seq,
-    cfg: PipelineConfig, key,
-) -> list:
+    accepted: list, lc: LCScanState, frame_of, cfg: PipelineConfig, key,
+) -> tuple[list, list]:
     """Accepted closures -> (i, j, Z) pose-graph edges + loop events.
 
     PnP-measured edges when configured (identity fallback to ``match-1``,
     the reference's shipped semantics, ``poseGraph.h:113-126``).
+    `frame_of`: callable ``fid -> (left, right)``.
     Returns (loop_events, loop_edges).
     """
     loop_events, loop_edges = [], []
@@ -338,7 +338,7 @@ def measure_loop_edges(
         )
         Zs = _measure_edges_pnp(
             (lc.db_pts, lc.db_pt_valid), sel, sel_geom,
-            left_seq, right_seq, cfg, key,
+            frame_of, cfg, key,
         )
     else:
         Zs = [None] * len(accepted)
@@ -365,7 +365,7 @@ class ScanSlamResult:
 
 
 def _measure_edges_pnp(
-    lc_arrays, cands, geom, left_seq, right_seq, cfg: PipelineConfig, key
+    lc_arrays, cands, geom, frame_of, cfg: PipelineConfig, key
 ):
     """PnP-measured loop edges Z = T_q^-1 T_match for accepted candidates
     (the reference's unbuilt ``getLCMeasurement``, ``dump.cpp:331-348``).
@@ -375,6 +375,9 @@ def _measure_edges_pnp(
     observations in the matched frame; PnP solves the match camera pose
     in the query frame.  Falls back to identity (reference semantics,
     ``poseGraph.h:118``) when PnP starves.
+
+    `frame_of`: callable ``fid -> (left, right)`` host/device frames
+    (uint8 or [0, 1] f32).
     """
     db_pts, db_pt_valid = lc_arrays
     cam = step_mod._cam_of(cfg)
@@ -383,10 +386,11 @@ def _measure_edges_pnp(
     out = []
     from ros_stereo_slam_tpu.models import frontend as fe_mod
 
-    scale = 1.0 / 255.0 if left_seq.dtype == np.uint8 else 1.0
     for ci, (q, m) in enumerate(cands):
-        lq = jnp.asarray(left_seq[q], jnp.float32) * scale
-        rq = jnp.asarray(right_seq[q], jnp.float32) * scale
+        lq_raw, rq_raw = frame_of(q)
+        scale = 1.0 / 255.0 if np.asarray(lq_raw).dtype == np.uint8 else 1.0
+        lq = jnp.asarray(lq_raw, jnp.float32) * scale
+        rq = jnp.asarray(rq_raw, jnp.float32) * scale
         lp = tuple(pyramid.build_pyramid(lq, cfg.frontend.lk_levels))
         rp = tuple(pyramid.build_pyramid(rq, cfg.frontend.lk_levels))
         qs = q % cap
@@ -467,7 +471,7 @@ def run_offline_slam(
         np.asarray(lstats.ns), fid_start=1,
     )
     loop_events, loop_edges = measure_loop_edges(
-        accepted, lc, left_seq, right_seq, cfg,
+        accepted, lc, lambda fid: (left_seq[fid], right_seq[fid]), cfg,
         jax.random.PRNGKey(cfg.seed + 13),
     )
 
