@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -204,21 +205,40 @@ def bench_full_slam(args, cam, left_seq, right_seq, gt_poses):
         ),
     )
     n_total = left_seq.shape[0]
-    print("[bench] training vocabulary (untimed offline step)...",
-          file=sys.stderr)
-    descs, docs = [], []
-    for i in range(0, n_total, 8):
-        f = orb.detect_and_compute(
-            jnp.asarray(left_seq[i]), cfg.loop.orb_features,
-            n_levels=cfg.loop.orb_levels,
+    # The trained vocabulary is a deterministic function of the rendered
+    # world + ORB/vocab params; cache it under /tmp so repeated bench
+    # invocations skip the ~10 min offline training step (untimed either
+    # way — delete the cache file to retrain).
+    import hashlib
+
+    wkey = hashlib.sha1(
+        np.ascontiguousarray(left_seq[:: max(n_total // 8, 1)])
+    ).hexdigest()[:16]
+    ckey = (f"{wkey}_{n_total}_{cfg.loop.orb_features}_"
+            f"{cfg.loop.orb_levels}_{cfg.loop.vocab_k}_"
+            f"{cfg.loop.vocab_levels}")
+    cache = f"/tmp/bench_vocab_{ckey}.npz"
+    if os.path.exists(cache):
+        print(f"[bench] loading cached vocabulary ({cache})...",
+              file=sys.stderr)
+        voc = vocab_mod.Vocabulary.load(cache)
+    else:
+        print("[bench] training vocabulary (untimed offline step)...",
+              file=sys.stderr)
+        descs, docs = [], []
+        for i in range(0, n_total, 8):
+            f = orb.detect_and_compute(
+                jnp.asarray(left_seq[i]), cfg.loop.orb_features,
+                n_levels=cfg.loop.orb_levels,
+            )
+            v = np.asarray(f.valid)
+            descs.append(np.asarray(f.desc_sign)[v])
+            docs.append(np.full(int(v.sum()), i))
+        voc = vocab_mod.train_batched(
+            np.concatenate(descs), k=cfg.loop.vocab_k,
+            levels=cfg.loop.vocab_levels, doc_ids=np.concatenate(docs),
         )
-        v = np.asarray(f.valid)
-        descs.append(np.asarray(f.desc_sign)[v])
-        docs.append(np.full(int(v.sum()), i))
-    voc = vocab_mod.train_batched(
-        np.concatenate(descs), k=cfg.loop.vocab_k,
-        levels=cfg.loop.vocab_levels, doc_ids=np.concatenate(docs),
-    )
+        voc.save(cache)
     left_dev = jax.device_put(jnp.asarray(left_seq, jnp.float32))
     right_dev = jax.device_put(jnp.asarray(right_seq, jnp.float32))
     jax.block_until_ready((left_dev, right_dev))
