@@ -34,6 +34,7 @@ sequence.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +46,17 @@ from ros_stereo_slam_tpu.models import slam_scan
 from ros_stereo_slam_tpu.models import step as step_mod
 from ros_stereo_slam_tpu.models import vocab as vocab_mod
 from ros_stereo_slam_tpu.ops import pyramid
+
+
+class ChunkInfo(NamedTuple):
+    """Per-chunk outputs (host numpy) from :meth:`ChunkedSLAM.process_chunk`."""
+
+    T_wc: np.ndarray  # (C, 4, 4) live poses of this chunk's frames
+    n_inliers: np.ndarray  # (C,)
+    is_keyframe: np.ndarray  # (C,)
+    tracking_ok: np.ndarray  # (C,)
+    n_accepted: int  # closures accepted at this chunk boundary
+    corrected: bool  # whether a PGO correction was applied
 
 
 @dataclass
@@ -121,8 +133,8 @@ class ChunkedSLAM:
         self.frame_count = 1
 
     def process_chunk(self, lefts, rights, rgbs=None,
-                      query_frames=None) -> int:
-        """Run one micro-batch of frames; returns closures accepted.
+                      query_frames=None) -> ChunkInfo:
+        """Run one micro-batch of frames; returns per-chunk ChunkInfo.
 
         `lefts`/`rights`: (C, H, W) device or host arrays (uint8 or f32).
         `query_frames`: optional callable ``fid -> (left, right)`` host
@@ -193,7 +205,11 @@ class ChunkedSLAM:
             self.trajectory_dev = new_poses
             self._prev_T = T_opt
             self.n_corrections += 1
-        return len(accepted)
+        return ChunkInfo(
+            T_wc=T_np, n_inliers=n_inl_np, is_keyframe=is_kf_np,
+            tracking_ok=ok_np, n_accepted=len(accepted),
+            corrected=bool(accepted),
+        )
 
     def _apply_correction(self, T_opt, new_poses, old_poses, right_img,
                           rgb_img=None) -> None:
@@ -249,6 +265,14 @@ class ChunkedSLAM:
     @property
     def keyframes(self):
         return self._carry.keyframes
+
+    def map_points(self):
+        from ros_stereo_slam_tpu.models.pipeline import map_points_of
+
+        return map_points_of(self._carry.keyframes)
+
+    def save_graph(self, path: str) -> None:
+        self.graph.save(path, self.trajectory_array())
 
     def result(self, n_chunks: int = 0) -> ChunkedSlamResult:
         return ChunkedSlamResult(

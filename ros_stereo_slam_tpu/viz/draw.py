@@ -73,7 +73,9 @@ def draw_trajectory(
         ax.plot(kf[:, 0, 3], kf[:, 2, 3], "b.", ms=4, label="keyframes")
     if loop_events:
         for ev in loop_events:
-            q, m = ev.query, ev.match
+            # LoopEvent objects (streaming driver) or (q, m, n_inl)
+            # tuples (scan/chunked drivers)
+            q, m = (ev.query, ev.match) if hasattr(ev, "query") else ev[:2]
             if q < len(est_poses) and m < len(est_poses):
                 ax.plot(
                     [est_poses[q, 0, 3], est_poses[m, 0, 3]],

@@ -28,6 +28,13 @@ def main():
     ap.add_argument("--frames", type=int, default=4500)
     ap.add_argument("--out", default=None)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--mode", default="stream",
+                    choices=["stream", "chunked"],
+                    help="stream = per-frame dispatch (models/slam.py); "
+                    "chunked = 32-frame micro-batch scans with per-chunk "
+                    "PGO correction (models/slam_chunked.py; requires "
+                    "--preset loop_closure + --vocab)")
+    ap.add_argument("--chunk", type=int, default=32)
     args = ap.parse_args()
 
     import jax
@@ -60,26 +67,64 @@ def main():
         sys.exit(2)
 
     out = RunOutputs(args.out or f"runs/kitti_{args.seq}_{args.preset}")
-    slam = StereoSLAM(cfg, vocab=vocab)
     timer = StageTimer()
     fps = FpsMeter()
 
-    with timer.stage("initialize"):
-        l0, r0 = seq.frame(0)
-        rgb0 = seq.frame_rgb(0) if seq.rgb_available else None
-        info = slam.initialize(l0, r0, left_rgb=rgb0)
-    out.log_frame(info)
-    for i in range(1, n):
-        with timer.stage("io"):
-            left, right = seq.frame(i)
-            rgb = seq.frame_rgb(i) if seq.rgb_available else None
-        with timer.stage("frame"):
-            info = slam.process_frame(left, right, left_rgb=rgb)
-        out.log_frame(info, {"fps": round(fps.tick(), 2)})
-        if i % 100 == 0:
-            print(f"[kitti] {i}/{n} fps={fps.fps:.1f} inl={info.n_inliers}")
-    for ev in slam.loop_events:
-        print(f"[kitti] LOOP {ev.query} -> {ev.match} ({ev.n_inliers} inliers)")
+    if args.mode == "chunked":
+        if vocab is None:
+            print("ERROR: --mode chunked needs --preset loop_closure + "
+                  "--vocab (in-scan detection requires a vocabulary)",
+                  file=sys.stderr)
+            sys.exit(2)
+        import numpy as np
+
+        from ros_stereo_slam_tpu.models.slam_chunked import ChunkedSLAM
+
+        slam = ChunkedSLAM(cfg, vocab)
+        with timer.stage("initialize"):
+            l0, r0 = seq.frame(0)
+            rgb0 = seq.frame_rgb(0) if seq.rgb_available else None
+            slam.initialize(l0, r0, rgb0=rgb0)
+        C = args.chunk
+        for s in range(1, n, C):
+            e = min(s + C, n)
+            with timer.stage("io"):
+                fr = [seq.frame(i) for i in range(s, e)]
+                lefts = np.stack([f[0] for f in fr])
+                rights = np.stack([f[1] for f in fr])
+                rg = (np.stack([seq.frame_rgb(i) for i in range(s, e)])
+                      if seq.rgb_available else None)
+            with timer.stage("chunk"):
+                info = slam.process_chunk(
+                    lefts, rights, rgbs=rg,
+                    query_frames=lambda fid: seq.frame(fid),
+                )
+            if (s - 1) // C % 4 == 0:
+                print(f"[kitti] {e}/{n} "
+                      f"inl_med={int(np.median(info.n_inliers))} "
+                      f"accepted={info.n_accepted}")
+        for q, m, n_inl in slam.loop_events:
+            print(f"[kitti] LOOP {q} -> {m} ({n_inl} inliers)")
+    else:
+        slam = StereoSLAM(cfg, vocab=vocab)
+        with timer.stage("initialize"):
+            l0, r0 = seq.frame(0)
+            rgb0 = seq.frame_rgb(0) if seq.rgb_available else None
+            info = slam.initialize(l0, r0, left_rgb=rgb0)
+        out.log_frame(info)
+        for i in range(1, n):
+            with timer.stage("io"):
+                left, right = seq.frame(i)
+                rgb = seq.frame_rgb(i) if seq.rgb_available else None
+            with timer.stage("frame"):
+                info = slam.process_frame(left, right, left_rgb=rgb)
+            out.log_frame(info, {"fps": round(fps.tick(), 2)})
+            if i % 100 == 0:
+                print(f"[kitti] {i}/{n} fps={fps.fps:.1f} "
+                      f"inl={info.n_inliers}")
+        for ev in slam.loop_events:
+            print(f"[kitti] LOOP {ev.query} -> {ev.match} "
+                  f"({ev.n_inliers} inliers)")
 
     summary = out.finalize(slam, gt_poses=seq.gt_poses())
     timer.dump(os.path.join(out.out_dir, "stages.json"))

@@ -31,6 +31,13 @@ def main():
     ap.add_argument("--scale", type=int, default=2, help="resolution divisor")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--seed", type=int, default=13)
+    ap.add_argument("--mode", default="stream",
+                    choices=["stream", "chunked"],
+                    help="stream = per-frame dispatch (models/slam.py); "
+                    "chunked = 16-frame micro-batch scans with per-chunk "
+                    "PGO correction (models/slam_chunked.py; requires a "
+                    "loop-closure preset)")
+    ap.add_argument("--chunk", type=int, default=16)
     args = ap.parse_args()
 
     import jax
@@ -108,23 +115,54 @@ def main():
             np.concatenate(descs), k=8, levels=3, doc_ids=np.concatenate(docs)
         )
 
-    slam = StereoSLAM(cfg, vocab=vocab)
     out = RunOutputs(args.out)
     timer = StageTimer()
     fps = FpsMeter()
 
-    with timer.stage("initialize"):
-        info = slam.initialize(*frames[0], left_rgb=rgbs[0])
-    out.log_frame(info)
-    for i in range(1, world.n_frames):
-        with timer.stage("frame"):
-            info = slam.process_frame(*frames[i], left_rgb=rgbs[i])
-        out.log_frame(info, {"fps": round(fps.tick(), 2)})
-        if info.is_keyframe or not info.tracking_ok:
-            print(f"[run] f{info.frame}: inl={info.n_inliers} "
-                  f"kf={info.is_keyframe} ok={info.tracking_ok}")
-    for ev in slam.loop_events:
-        print(f"[run] LOOP {ev.query} -> {ev.match} ({ev.n_inliers} inliers)")
+    if args.mode == "chunked":
+        if vocab is None:
+            print("ERROR: --mode chunked needs a loop-closure preset "
+                  "(in-scan detection requires a vocabulary)",
+                  file=sys.stderr)
+            sys.exit(2)
+        from ros_stereo_slam_tpu.models.slam_chunked import ChunkedSLAM
+
+        slam = ChunkedSLAM(cfg, vocab)
+        with timer.stage("initialize"):
+            slam.initialize(frames[0][0], frames[0][1], rgb0=rgbs[0])
+        C = args.chunk
+        for s in range(1, world.n_frames, C):
+            e = min(s + C, world.n_frames)
+            lefts = np.stack([frames[i][0] for i in range(s, e)])
+            rights = np.stack([frames[i][1] for i in range(s, e)])
+            rg = (np.stack([rgbs[i] for i in range(s, e)])
+                  if rgbs[0] is not None else None)
+            with timer.stage("chunk"):
+                info = slam.process_chunk(
+                    lefts, rights, rgbs=rg,
+                    query_frames=lambda fid: frames[fid][:2],
+                )
+            print(f"[run] chunk {s}..{e - 1}: "
+                  f"inl_med={int(np.median(info.n_inliers))} "
+                  f"kf={int(info.is_keyframe.sum())} "
+                  f"accepted={info.n_accepted} corrected={info.corrected}")
+        for q, m, n_inl in slam.loop_events:
+            print(f"[run] LOOP {q} -> {m} ({n_inl} inliers)")
+    else:
+        slam = StereoSLAM(cfg, vocab=vocab)
+        with timer.stage("initialize"):
+            info = slam.initialize(*frames[0], left_rgb=rgbs[0])
+        out.log_frame(info)
+        for i in range(1, world.n_frames):
+            with timer.stage("frame"):
+                info = slam.process_frame(*frames[i], left_rgb=rgbs[i])
+            out.log_frame(info, {"fps": round(fps.tick(), 2)})
+            if info.is_keyframe or not info.tracking_ok:
+                print(f"[run] f{info.frame}: inl={info.n_inliers} "
+                      f"kf={info.is_keyframe} ok={info.tracking_ok}")
+        for ev in slam.loop_events:
+            print(f"[run] LOOP {ev.query} -> {ev.match} "
+                  f"({ev.n_inliers} inliers)")
 
     summary = out.finalize(slam, gt_poses=world.poses)
     timer.dump(os.path.join(args.out, "stages.json"))
