@@ -52,6 +52,14 @@ def main() -> None:
                     "re-triangulation like the reference) on the same "
                     "frames and record both ATEs — measures what the "
                     "scan mode's deferred correction costs")
+    ap.add_argument("--compare-chunked", action="store_true",
+                    help="also run the chunked ONLINE driver (32-frame "
+                    "micro-batches, per-chunk immediate correction) on "
+                    "the same frames — the third posture's ATE + wall")
+    ap.add_argument("--frame-cache", action="store_true",
+                    help="cache the rendered frame stack under /tmp "
+                    "(keyed by all render parameters) so repeat "
+                    "invocations skip the ~12 min render")
     args = ap.parse_args()
 
     import jax
@@ -92,7 +100,17 @@ def main() -> None:
     # Big corridor so the circle (x in [0, 2r]) keeps wall clearance.
     world_kw = dict(half_w=max(3.0 * r, 18.0), end_z=max(6.0 * r, 260.0))
     t0 = time.perf_counter()
-    if args.jitter:
+    cache_path = (
+        f"/tmp/endurance_frames_{F}_{L}_{r:g}_{s}_"
+        f"{'j' if args.jitter else 'p'}.npz"
+    )
+    if args.frame_cache and os.path.exists(cache_path):
+        print(f"[endurance] loading cached frames ({cache_path})...",
+              flush=True)
+        z = np.load(cache_path)
+        left_seq, right_seq, gt_poses = z["l"], z["r"], z["gt"]
+        lap_left = left_seq[:L]
+    elif args.jitter:
         # Every lap renders with its own pose perturbation; lap-2+ frames
         # additionally get photometric jitter — revisits are no longer
         # byte-identical to lap 1 (the appearance-change regime BoW
@@ -157,6 +175,9 @@ def main() -> None:
         lap_right = np.stack(rights)
         left_seq = lap_left[idx]
         right_seq = lap_right[idx]
+    if args.frame_cache and not os.path.exists(cache_path):
+        np.savez(cache_path, l=left_seq, r=right_seq, gt=gt_poses)
+        print(f"[endurance] cached frames to {cache_path}", flush=True)
     print(f"[endurance] staged {left_seq.nbytes * 2 / 1e9:.2f} GB (uint8)",
           flush=True)
 
@@ -191,6 +212,26 @@ def main() -> None:
     ate = metrics.ate_rmse(res.trajectory, gt_poses)
     n_kf = int(np.sum(res.is_keyframe))
     ok_frac = float(np.mean(res.tracking_ok))
+
+    chunked = None
+    if args.compare_chunked:
+        # The third posture: 32-frame micro-batch scans with per-chunk
+        # immediate correction (models/slam_chunked.py) — reference
+        # correction semantics at near-scan throughput.
+        from ros_stereo_slam_tpu.models.slam_chunked import run_online_slam
+
+        print("[endurance] chunked-online comparison run...", flush=True)
+        t1 = time.perf_counter()
+        cres = run_online_slam(cfg, voc, left_seq, right_seq, chunk=32)
+        chunk_wall = time.perf_counter() - t1
+        ate_chunk = metrics.ate_rmse(cres.trajectory, gt_poses)
+        chunked = {
+            "ate_rmse_chunked_m": round(float(ate_chunk), 4),
+            "chunked_loop_closures": len(cres.loop_events),
+            "chunked_corrections": cres.n_corrections,
+            "chunked_wall_s": round(chunk_wall, 1),
+            "chunked_fps_incl_compile": round((F - 1) / chunk_wall, 2),
+        }
 
     streaming = None
     if args.compare_streaming:
@@ -254,6 +295,8 @@ def main() -> None:
     }
     if streaming is not None:
         summary.update(streaming)
+    if chunked is not None:
+        summary.update(chunked)
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary, indent=2), flush=True)

@@ -88,6 +88,27 @@ def mk_full(reps):
     return run
 
 
+def mk_fullcond(reps):
+    """The production stride-2 shape: _lc_scan_step under lax.cond on
+    alternating iterations.  If (fullcond - full/2) is materially above
+    the null branch's cost, the cond is copying the big db carry."""
+    @jax.jit
+    def run():
+        def body(lc, i):
+            lc, st = lax.cond(
+                i % 2 == 0,
+                lambda l: slam_scan._lc_scan_step(
+                    l, L[i % N + 1], i + 1, centers, idf, cfg, voc.k
+                ),
+                lambda l: (l, slam_scan._null_stats(cfg)),
+                lc,
+            )
+            return lc, st.top_scores[0]
+        _, out = lax.scan(body, lc1, jnp.arange(reps))
+        return out
+    return run
+
+
 def mk_orb(reps):
     # n_levels matters: the production step runs the multi-scale pyramid
     # (4 levels @1.25) — a single-level measurement here misattributed
@@ -352,6 +373,7 @@ def mk_query_exact(reps):
 
 STAGES = {
     "full": lambda: slope("full _lc_scan_step", mk_full),
+    "fullcond": lambda: slope("stride-2 lax.cond(_lc_scan_step)", mk_fullcond),
     "insert": lambda: slope("db ring insert (all fields)", mk_insert),
     "qexact": lambda: slope("shortlist gather + exact rescore", mk_query_exact),
     "qbinned": lambda: slope("binned query (matvec+rescore)", mk_query_binned),
