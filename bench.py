@@ -286,6 +286,85 @@ def bench_full_slam(args, cam, left_seq, right_seq, gt_poses):
     return fps, float(ate), res, cfg, voc, online
 
 
+def bench_batched(args, cfg, left_seq, right_seq, gt_poses):
+    """DP-over-sequences on ONE chip: the rendered sequence splits into
+    ``--lanes`` independent sub-sequences run as a SINGLE vmapped scan.
+
+    SLAM odometry is gather/latency-bound (~0.3 % MFU, RESULTS.md), so
+    one sequence leaves most of the chip idle between tiny kernels;
+    vmapping lanes amortizes every kernel launch, gather and small
+    matmul across B sequences.  This is the multi-session mapping
+    posture (a robot fleet's sequences, or one long sequence split into
+    shards, mapped concurrently) — and the per-chip aggregate the
+    multi-chip DP axis multiplies (each lane is embarrassingly parallel
+    across devices; `__graft_entry__.dryrun_multichip` shards the same
+    computation's point dimension instead).
+
+    Reported fps is AGGREGATE frames/s across lanes; ATE is checked per
+    lane against that lane's GT segment so batching cannot hide quality
+    regressions.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ros_stereo_slam_tpu.models import step as step_mod
+    from ros_stereo_slam_tpu.models.pipeline import _grid_for
+    from ros_stereo_slam_tpu.utils import metrics
+
+    B = args.lanes
+    n_total = left_seq.shape[0]
+    per = (n_total - 1) // B
+    if per < 8:
+        return {}
+    grid_pts, grid_mask = _grid_for(cfg)
+    L = jax.device_put(jnp.asarray(left_seq, jnp.float32))
+    R = jax.device_put(jnp.asarray(right_seq, jnp.float32))
+    starts = [b * per for b in range(B)]
+    L0 = jnp.stack([L[s] for s in starts])
+    R0 = jnp.stack([R[s] for s in starts])
+    Ls = jnp.stack([L[s + 1:s + 1 + per] for s in starts])  # (B,per,H,W)
+    Rs = jnp.stack([R[s + 1:s + 1 + per] for s in starts])
+    jax.block_until_ready((Ls, Rs))
+
+    keys = jax.random.split(jax.random.PRNGKey(cfg.seed), B)
+    carry0 = jax.vmap(
+        lambda l0, r0, k: step_mod.init_carry(
+            l0, r0, grid_pts, grid_mask, k, cfg)
+    )(L0, R0, keys)
+
+    run = jax.jit(jax.vmap(
+        lambda ls, rs, c: step_mod.run_sequence(
+            ls, rs, c, grid_pts, grid_mask, cfg)
+    ))
+    print(f"[bench] batched x{B}: compile + first run...", file=sys.stderr)
+    _, stats = run(Ls, Rs, carry0)
+    np.asarray(stats.T_wc)
+    print("[bench] timed runs...", file=sys.stderr)
+
+    def timed():
+        _, st = run(Ls, Rs, carry0)
+        jax.block_until_ready(st.T_wc)
+        return st
+
+    stats, dt = _time_best(timed, args.reps)
+    fps = B * per / dt
+    Twc = np.asarray(stats.T_wc)  # (B, per, 4, 4)
+    ates = [
+        float(metrics.ate_rmse(Twc[b], gt_poses[s + 1:s + 1 + per]))
+        for b, s in enumerate(starts)
+    ]
+    return {
+        "batched_lanes": B,
+        "batched_frames_per_lane": per,
+        "batched_fps_aggregate": round(fps, 2),
+        "batched_vs_baseline": round(fps / REFERENCE_CPU_FPS, 2),
+        "batched_ate_rmse_m_worst_lane": round(max(ates), 4),
+        "batched_tracked_pct": round(
+            100.0 * float(np.asarray(stats.tracking_ok).mean()), 2),
+    }
+
+
 def bench_streaming(args, cfg, left_seq, right_seq, gt_poses):
     """Online posture: per-frame and chunked dispatch INCLUDING transfers.
 
@@ -395,7 +474,7 @@ def main() -> None:
                     "TPU tunnel adds ±20%% run-to-run noise)")
     ap.add_argument("--preset",
                     choices=["headline", "odometry", "loop_closure",
-                             "mapping", "ba", "streaming"],
+                             "mapping", "ba", "streaming", "batched"],
                     default="headline",
                     help="headline = odometry + full SLAM + streaming "
                     "breakdown (one merged JSON line); the named presets "
@@ -418,6 +497,9 @@ def main() -> None:
                     "(default: LoopClosureConfig default)")
     ap.add_argument("--no-stream", action="store_true",
                     help="skip the streaming-posture rows")
+    ap.add_argument("--lanes", type=int, default=4,
+                    help="batched preset: independent sequence lanes "
+                    "run by one vmapped scan (DP-over-sequences)")
     args = ap.parse_args()
 
     import jax
@@ -531,6 +613,24 @@ def main() -> None:
                 "mode": "scan+epilogue",
             })
         result.update(slam_row)
+
+    if args.preset in ("headline", "batched"):
+        try:
+            brow = bench_batched(args, cfg, left_seq, right_seq, gt_poses)
+        except Exception as e:  # keep the headline row robust
+            if args.preset == "batched":
+                raise
+            print(f"[bench] batched preset skipped: {e!r}", file=sys.stderr)
+            brow = {}
+        result.update(brow)
+        if args.preset == "batched" and brow:
+            result.update({
+                "metric": "batched_frames_per_sec_per_chip",
+                "value": brow["batched_fps_aggregate"],
+                "vs_baseline": brow["batched_vs_baseline"],
+                "ate_rmse_m": brow["batched_ate_rmse_m_worst_lane"],
+                "mode": f"vmap x{brow['batched_lanes']} scan",
+            })
 
     if (args.preset in ("headline", "streaming")) and not args.no_stream:
         result.update(

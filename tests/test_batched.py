@@ -1,0 +1,82 @@
+"""Batched multi-sequence SLAM: vmapped scan over independent lanes.
+
+The DP-over-sequences posture (bench.py ``--preset batched``): B
+sequences run as ONE vmapped ``run_sequence`` scan.  Correctness bar:
+each vmapped lane must reproduce the same trajectory the un-vmapped
+scan produces for that lane alone — vmap turns the per-frame
+``lax.cond`` branches (keyframe insert, retrack rescue) into selects
+that execute both sides, so this test pins that neither branch leaks
+into the not-taken lane's state.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ros_stereo_slam_tpu.config import (
+    CameraConfig,
+    FrontendConfig,
+    KeyframeConfig,
+    preset_odometry,
+)
+from ros_stereo_slam_tpu.data.synthetic import small_world
+from ros_stereo_slam_tpu.models import step as step_mod
+from ros_stereo_slam_tpu.ops import grid
+
+
+@pytest.fixture(scope="module")
+def batched_setup():
+    B, F = 2, 6
+    worlds = [small_world(n_frames=F + 1, seed=7 + i) for i in range(B)]
+    camc = worlds[0].camera
+    cfg = preset_odometry().replace(
+        camera=camc,
+        frontend=FrontendConfig(grid_step=12, max_points=1024),
+        keyframes=KeyframeConfig(max_keyframes=8, min_pnp_inliers=150,
+                                 map_block_points=1024),
+    )
+    pts, mask = grid.grid_points(
+        camc.height, camc.width, cfg.frontend.grid_step,
+        cfg.frontend.max_points,
+    )
+    pts, mask = jnp.asarray(pts), jnp.asarray(mask)
+
+    def stage(w):
+        L = np.stack([w.render(i)[0] for i in range(F + 1)])
+        R = np.stack([w.render(i)[1] for i in range(F + 1)])
+        return jnp.asarray(L), jnp.asarray(R)
+
+    Ls, Rs = zip(*[stage(w) for w in worlds])
+    L, R = jnp.stack(Ls), jnp.stack(Rs)  # (B, F+1, H, W)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    return worlds, cfg, pts, mask, L, R, keys, B, F
+
+
+def test_vmapped_lanes_match_single(batched_setup):
+    worlds, cfg, pts, mask, L, R, keys, B, F = batched_setup
+
+    carry0 = jax.vmap(
+        lambda l0, r0, k: step_mod.init_carry(l0, r0, pts, mask, k, cfg)
+    )(L[:, 0], R[:, 0], keys)
+    carryN, stats = jax.vmap(
+        lambda ls, rs, c: step_mod.run_sequence(ls, rs, c, pts, mask, cfg)
+    )(L[:, 1:], R[:, 1:], carry0)
+
+    assert np.asarray(stats.tracking_ok).all()
+    for b in range(B):
+        c0 = step_mod.init_carry(L[b, 0], R[b, 0], pts, mask, keys[b], cfg)
+        cN, st = step_mod.run_sequence(L[b, 1:], R[b, 1:], c0, pts, mask, cfg)
+        np.testing.assert_allclose(
+            np.asarray(stats.T_wc[b]), np.asarray(st.T_wc),
+            atol=1e-4,
+            err_msg=f"lane {b} trajectory diverges from single-lane run",
+        )
+        assert (
+            np.asarray(stats.is_keyframe[b]) == np.asarray(st.is_keyframe)
+        ).all()
+        # each lane's final pose also lands near GT
+        gt = worlds[b].poses[F]
+        terr = np.linalg.norm(
+            np.asarray(carryN.T_wc[b])[:3, 3] - gt[:3, 3])
+        assert terr < 0.05, f"lane {b} final translation error {terr:.3f} m"
