@@ -222,6 +222,33 @@ def _bootstrap_track(
     return track, right_pts, clean
 
 
+def _track_and_pnp(carry, ref_pyr, c_pyr, init_flow, lk_params, keys,
+                   cfg: PipelineConfig, cam, T_prior):
+    """LK track -> F-RANSAC gate -> PnP with the folded retry ladder
+    (``src/tracking.cpp:46-91``, ``src/rosFuncs.cpp:73-94``).  The
+    previous pose seeds a planar-safe GN hypothesis family (the P6P
+    DLT degenerates on single-wall views).  Shared by the single-lane
+    step and the batched (DP-over-sequences) step in step_batched.py."""
+    fe, pc = cfg.frontend, cfg.pnp
+    kf_, kp_ = keys
+    r = lk.track(ref_pyr, c_pyr, carry.track.pts2d, init_flow, lk_params)
+    mm = carry.track.mask & r.valid
+    if fe.fmat_gate == "ransac":
+        fr = ransac.fmat_ransac(
+            kf_, carry.track.pts2d, r.points, mm,
+            thresh_px=fe.fmat_thresh_px, iters=fe.fmat_iters,
+        )
+        mm = mm & fr.inliers
+    pp = pnp.pnp_ransac(
+        kp_, cam, carry.track.pts3d, r.points, mm,
+        thresh_px=pc.thresh_px, iters=pc.iters,
+        refine_iters=pc.refine_iters,
+        T_init=T_prior, retry_thresh_px=pc.retry_thresh_px,
+        min_inliers=pc.min_inliers, huber_px=pc.refine_huber_px,
+    )
+    return r.points, mm, pp
+
+
 def _right_cam_pose(T_wc: jnp.ndarray, baseline) -> jnp.ndarray:
     """Cam-from-world of the RIGHT camera: shift by -baseline along cam x."""
     shift = jnp.eye(4, dtype=T_wc.dtype).at[0, 3].set(-baseline)
@@ -344,27 +371,10 @@ def slam_frame_step(
     T_prior = lie.inv_se3(carry.T_wc)
 
     def track_and_pnp(ref_pyr, c_pyr, init_flow, lk_params, keys):
-        """LK track -> F-RANSAC gate -> PnP with the folded retry ladder
-        (``src/tracking.cpp:46-91``, ``src/rosFuncs.cpp:73-94``).  The
-        previous pose seeds a planar-safe GN hypothesis family (the P6P
-        DLT degenerates on single-wall views)."""
-        kf_, kp_ = keys
-        r = lk.track(ref_pyr, c_pyr, carry.track.pts2d, init_flow, lk_params)
-        mm = carry.track.mask & r.valid
-        if fe.fmat_gate == "ransac":
-            fr = ransac.fmat_ransac(
-                kf_, carry.track.pts2d, r.points, mm,
-                thresh_px=fe.fmat_thresh_px, iters=fe.fmat_iters,
-            )
-            mm = mm & fr.inliers
-        pp = pnp.pnp_ransac(
-            kp_, cam, carry.track.pts3d, r.points, mm,
-            thresh_px=pc.thresh_px, iters=pc.iters,
-            refine_iters=pc.refine_iters,
-            T_init=T_prior, retry_thresh_px=pc.retry_thresh_px,
-            min_inliers=pc.min_inliers, huber_px=pc.refine_huber_px,
+        return _track_and_pnp(
+            carry, ref_pyr, c_pyr, init_flow, lk_params, keys,
+            cfg, cam, T_prior,
         )
-        return r.points, mm, pp
 
     if fe.lk_seed == "const_velocity" and carry.dT is not None:
         # Predict the pose by replaying the last inter-frame motion, project

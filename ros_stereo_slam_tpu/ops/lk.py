@@ -156,7 +156,11 @@ def _dispatch_level(ref_img, cur_img, ref_pts, guesses, params: LKParams):
     if use_pallas:
         from ros_stereo_slam_tpu.ops import lk_pallas
 
-        return lk_pallas.track_level(ref_img, cur_img, ref_pts, guesses, params)
+        # track_level with a custom vmap rule: under jax.vmap (the
+        # DP-over-sequences posture) lanes route to the grid=(B,) batched
+        # kernel instead of failing to auto-batch the single-lane call.
+        return lk_pallas.track_level_auto(
+            ref_img, cur_img, ref_pts, guesses, params)
     return _track_level(ref_img, cur_img, ref_pts, guesses, params)
 
 

@@ -26,10 +26,11 @@ at ``/root/reference/src/tracking.cpp:18,52``.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
+from jax.custom_batching import custom_vmap
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -98,14 +99,29 @@ def _lk_level_kernel(
     px_ref, py_ref, gx0_ref, gy0_ref, tmpl_ref, cur_ref,
     out_pts_ref, out_meta_ref,
     *, S: int, iters: int, walk_iters: int, eps: float, n_pts: int,
-    H: int, W: int, sel_dtype=jnp.bfloat16,
+    H: int, W: int, sel_dtype=jnp.bfloat16, batched: bool = False,
 ):
     """Single-program kernel looping all points; meta = (min_eig, resid).
 
     Point coordinates arrive as four 1-D SMEM arrays — a 2-D (N, 2) SMEM
     layout pads the minor dim to 128 lanes (786 KB each, blowing the 1 MB
     SMEM budget).
+
+    ``batched``: multi-lane mode (grid=(B,), one independent image pair
+    per program): point arrays are full (B, N) SMEM residents indexed by
+    ``program_id``; image/output refs arrive per-lane via squeezed
+    BlockSpecs, so the body below is lane-agnostic.
     """
+    if batched:
+        lane = pl.program_id(0)
+
+        def rd(ref, p):
+            return ref[lane, p]
+    else:
+
+        def rd(ref, p):
+            return ref[p]
+
     half = (S - 1) * 0.5
 
     inv_n = 1.0 / (S * S)
@@ -123,8 +139,8 @@ def _lk_level_kernel(
         tm, gx_l, gy_l, coef = [], [], [], []
         for u in range(_UNROLL):
             p = pb * _UNROLL + u
-            px = px_ref[p]
-            py = py_ref[p]
+            px = rd(px_ref, p)
+            py = rd(py_ref, p)
             # Template tile with a 1px gradient margin: (S+2, S+2) values
             # at (py - half - 1 + r, px - half - 1 + c).
             Tt, tfx, tfy = _select_tile(
@@ -170,7 +186,7 @@ def _lk_level_kernel(
         g0 = []
         for u in range(_UNROLL):
             p = pb * _UNROLL + u
-            g0.extend([gx0_ref[p], gy0_ref[p]])
+            g0.extend([rd(gx0_ref, p), rd(gy0_ref, p)])
         walk = min(iters, walk_iters)
         polish = iters - walk
         g_fin = jax.lax.fori_loop(0, walk, iter_body, tuple(g0))
@@ -317,3 +333,121 @@ def track_level(
     ok = min_eig > params.min_eig
     new_guess = jnp.where(ok[:, None], out_pts, guesses)
     return new_guess, resid, ok
+
+
+@partial(jax.jit, static_argnames=("params", "interpret"))
+def track_level_batch(
+    ref_imgs: jnp.ndarray,  # (B, H, W)
+    cur_imgs: jnp.ndarray,  # (B, H, W)
+    ref_pts: jnp.ndarray,  # (B, N, 2)
+    guesses: jnp.ndarray,  # (B, N, 2)
+    params: lk_ref.LKParams,
+    interpret: bool = False,
+):
+    """Multi-lane :func:`track_level`: B independent image pairs in ONE
+    kernel launch (grid=(B,), one program per lane).
+
+    This is the vmap path for DP-over-sequences (bench ``--preset
+    batched``): lane programs run back-to-back on the core while Mosaic's
+    block pipeline prefetches the next lane's image pair into VMEM under
+    the current lane's compute — B launches' worth of work for one
+    dispatch and no HBM stalls between lanes.  Point arrays stay SMEM
+    residents as full (B, N) arrays (48 KB at B=4, N=768 — the blocked
+    per-lane layout would violate Mosaic's (8, 128) SMEM block rule).
+    """
+    B = ref_imgs.shape[0]
+    ref_p = jax.vmap(_pad_to_kernel_geometry)(ref_imgs)
+    cur_p = jax.vmap(_pad_to_kernel_geometry)(cur_imgs)
+    H, W = ref_p.shape[1:]
+    n_in = ref_pts.shape[1]
+    if n_in % _UNROLL:
+        pad = _UNROLL - n_in % _UNROLL
+        ref_pts = jnp.pad(
+            ref_pts, ((0, 0), (0, pad), (0, 0)), constant_values=32.0)
+        guesses = jnp.pad(
+            guesses, ((0, 0), (0, pad), (0, 0)), constant_values=32.0)
+    n = ref_pts.shape[1]
+
+    lane_img = pl.BlockSpec(
+        (None, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    out_pts, out_meta = pl.pallas_call(
+        partial(
+            _lk_level_kernel,
+            S=params.window, iters=params.iters,
+            walk_iters=params.walk_iters, eps=params.eps,
+            n_pts=n, H=H, W=W,
+            sel_dtype=(jnp.float32 if params.select_dtype == "f32"
+                       else jnp.bfloat16),
+            batched=True,
+        ),
+        grid=(B,),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, n, 2), jnp.float32),
+            jax.ShapeDtypeStruct((B, n, 2), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            lane_img,
+            lane_img,
+        ],
+        out_specs=(
+            pl.BlockSpec((None, n, 2), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n, 2), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(ref_pts[..., 0], ref_pts[..., 1], guesses[..., 0], guesses[..., 1],
+      ref_p, cur_p)
+
+    out_pts = out_pts[:, :n_in]
+    out_meta = out_meta[:, :n_in]
+    guesses = guesses[:, :n_in]
+    min_eig = out_meta[..., 0]
+    resid = out_meta[..., 1]
+    ok = min_eig > params.min_eig
+    new_guess = jnp.where(ok[..., None], out_pts, guesses)
+    return new_guess, resid, ok
+
+
+@lru_cache(maxsize=None)
+def _vmappable_tracker(params: lk_ref.LKParams, interpret: bool = False):
+    """A :func:`track_level` whose vmap rule is :func:`track_level_batch`.
+
+    ``jax.vmap`` cannot batch the single-lane ``pallas_call`` (its
+    auto-generated per-lane SMEM BlockSpecs violate Mosaic's (8, 128)
+    block rule), so DP-over-sequences — ``jax.vmap(run_sequence)`` over
+    lanes — registers the explicitly-batched grid=(B,) kernel as the
+    batching rule instead.  Cached per (hashable) params so repeated
+    traces reuse one custom_vmap primitive.
+    """
+
+    @custom_vmap
+    def f(ref_img, cur_img, ref_pts, guesses):
+        return track_level(ref_img, cur_img, ref_pts, guesses, params,
+                           interpret=interpret)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, ref_img, cur_img, ref_pts, guesses):
+        args = []
+        for a, b in zip((ref_img, cur_img, ref_pts, guesses), in_batched):
+            args.append(
+                a if b
+                else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+            )
+        out = track_level_batch(
+            args[0], args[1], args[2], args[3], params=params,
+            interpret=interpret)
+        return out, (True, True, True)
+
+    return f
+
+
+def track_level_auto(ref_img, cur_img, ref_pts, guesses,
+                     params: lk_ref.LKParams, interpret: bool = False):
+    """Dispatch entry: single-lane semantics, lane-batched under vmap."""
+    return _vmappable_tracker(params, interpret)(
+        ref_img, cur_img, ref_pts, guesses)

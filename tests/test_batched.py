@@ -53,15 +53,22 @@ def batched_setup():
     return worlds, cfg, pts, mask, L, R, keys, B, F
 
 
-def test_vmapped_lanes_match_single(batched_setup):
+def test_batched_lanes_match_single(batched_setup):
+    """run_sequence_batched (hoisted-cond batched step) reproduces each
+    lane's single-lane trajectory — the branch hoist + where-merge must
+    be semantically invisible per lane."""
+    from ros_stereo_slam_tpu.models import step_batched
+
     worlds, cfg, pts, mask, L, R, keys, B, F = batched_setup
 
     carry0 = jax.vmap(
         lambda l0, r0, k: step_mod.init_carry(l0, r0, pts, mask, k, cfg)
     )(L[:, 0], R[:, 0], keys)
-    carryN, stats = jax.vmap(
-        lambda ls, rs, c: step_mod.run_sequence(ls, rs, c, pts, mask, cfg)
-    )(L[:, 1:], R[:, 1:], carry0)
+    carryN, stats_fb = step_batched.run_sequence_batched(
+        L[:, 1:], R[:, 1:], carry0, pts, mask, cfg
+    )
+    # stats come back frame-major (F, B, ...) — lane-major for checks
+    stats = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), stats_fb)
 
     assert np.asarray(stats.tracking_ok).all()
     for b in range(B):

@@ -78,3 +78,67 @@ def test_pallas_level_tracks_translation():
     ok = np.asarray(pal_ok)
     err = np.abs(flow[ok] - np.array([3.0, -2.0]))
     assert np.median(err) < 0.05
+
+
+def test_pallas_batched_lanes_match_single():
+    """track_level_batch (grid=(B,), the DP-over-sequences vmap rule) must
+    reproduce the single-lane kernel exactly per lane — the lane index
+    only selects state, it never enters the math."""
+    lanes = []
+    for seed in (0, 3, 5):
+        img, cur, pts = _setup(seed=seed)
+        lanes.append((jnp.asarray(img), jnp.asarray(cur), jnp.asarray(pts)))
+    B = len(lanes)
+    imgs = jnp.stack([l[0] for l in lanes])
+    curs = jnp.stack([l[1] for l in lanes])
+    ptss = jnp.stack([l[2] for l in lanes])
+    params = lk.LKParams(window=21, iters=8, select_dtype="f32")
+    bg, bresid, bok = lk_pallas.track_level_batch(
+        imgs, curs, ptss, ptss, params, interpret=True,
+    )
+    assert bg.shape == (B,) + lanes[0][2].shape
+    for b in range(B):
+        g, resid, ok = lk_pallas.track_level(
+            lanes[b][0], lanes[b][1], lanes[b][2], lanes[b][2], params,
+            interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(bok[b]), np.asarray(ok))
+        np.testing.assert_allclose(
+            np.asarray(bg[b]), np.asarray(g), atol=1e-6,
+            err_msg=f"lane {b}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(bresid[b]), np.asarray(resid), atol=1e-6,
+        )
+
+
+def test_pallas_custom_vmap_routes_to_batched():
+    """jax.vmap over track_level_auto must produce the batched kernel's
+    outputs (the custom_vmap rule), matching track_level_batch."""
+    import jax
+
+    img0, cur0, pts0 = _setup(seed=1)
+    img1, cur1, pts1 = _setup(seed=4)
+    imgs = jnp.stack([jnp.asarray(img0), jnp.asarray(img1)])
+    curs = jnp.stack([jnp.asarray(cur0), jnp.asarray(cur1)])
+    ptss = jnp.stack([jnp.asarray(pts0), jnp.asarray(pts1)])
+    params = lk.LKParams(window=15, iters=6, select_dtype="f32")
+
+    def one(i, c, p):
+        return lk_pallas.track_level_auto(i, c, p, p, params,
+                                          interpret=True)
+
+    vg, vresid, vok = jax.vmap(one)(imgs, curs, ptss)
+    bg, bresid, bok = lk_pallas.track_level_batch(
+        imgs, curs, ptss, ptss, params, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(vok), np.asarray(bok))
+    np.testing.assert_allclose(np.asarray(vg), np.asarray(bg), atol=1e-6)
+
+    # and the UN-vmapped auto entry still matches the single-lane kernel
+    g, resid, ok = lk_pallas.track_level_auto(
+        imgs[0], curs[0], ptss[0], ptss[0], params, interpret=True)
+    sg, sresid, sok = lk_pallas.track_level(
+        imgs[0], curs[0], ptss[0], ptss[0], params, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ok), np.asarray(sok))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(sg), atol=1e-6)
