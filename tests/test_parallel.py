@@ -312,3 +312,63 @@ def test_live_driver_pgo_routes_chain_sharded(mesh8):
     )
     # the mesh output must actually be chain-sharded (O(F/D) residency)
     assert opt_mesh.addressable_shards[0].data.shape[0] == 64 // 8
+
+
+@pytest.mark.slow
+def test_batched_lanes_sharded_matches_unsharded(mesh8):
+    """Fleet mapping (DP-over-sequences): run_sequence_batched with the
+    lane axis sharded over the mesh must equal the unsharded run — the
+    batch-level cond predicates (jnp.any over lanes) cross shards as
+    XLA-inserted collectives and must not perturb any lane."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ros_stereo_slam_tpu.config import FrontendConfig, preset_odometry
+    from ros_stereo_slam_tpu.data.synthetic import small_world
+    from ros_stereo_slam_tpu.models import step as step_mod
+    from ros_stereo_slam_tpu.models import step_batched
+    from ros_stereo_slam_tpu.ops import grid as grid_mod
+
+    B, F = 8, 3
+    worlds = [small_world(n_frames=F + 1, seed=20 + i, scale=4)
+              for i in range(B)]
+    camc = worlds[0].camera
+    cfg = preset_odometry().replace(
+        camera=camc,
+        frontend=FrontendConfig(grid_step=16, max_points=256, lk_levels=2,
+                                lk_iters=4, fmat_iters=64),
+    )
+    L = jnp.stack([
+        jnp.stack([jnp.asarray(w.render(i)[0]) for i in range(F + 1)])
+        for w in worlds
+    ])  # (B, F+1, h, w)
+    R = jnp.stack([
+        jnp.stack([jnp.asarray(w.render(i)[1]) for i in range(F + 1)])
+        for w in worlds
+    ])
+    gp, gm = grid_mod.grid_points(
+        camc.height, camc.width, cfg.frontend.grid_step,
+        cfg.frontend.max_points,
+    )
+    gp, gm = jnp.asarray(gp), jnp.asarray(gm)
+    keys = jax.random.split(jax.random.PRNGKey(3), B)
+    carry0 = jax.vmap(
+        lambda l0, r0, k: step_mod.init_carry(l0, r0, gp, gm, k, cfg)
+    )(L[:, 0], R[:, 0], keys)
+
+    _, st_single = step_batched.run_sequence_batched(
+        L[:, 1:], R[:, 1:], carry0, gp, gm, cfg
+    )
+
+    lane_sh = NamedSharding(mesh8, P("shard"))
+    carry_sh = jax.device_put(carry0, lane_sh)
+    _, st_dist = step_batched.run_sequence_batched(
+        jax.device_put(L[:, 1:], lane_sh),
+        jax.device_put(R[:, 1:], lane_sh),
+        carry_sh, gp, gm, cfg,
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_dist.T_wc), np.asarray(st_single.T_wc), atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(st_dist.is_keyframe), np.asarray(st_single.is_keyframe)
+    )
