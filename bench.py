@@ -283,6 +283,37 @@ def bench_full_slam(args, cam, left_seq, right_seq, gt_poses):
         "slam_online_chunk": 32,
         "slam_online_corrections": ores.n_corrections,
     }
+
+    # Batched full SLAM (DP-over-sequences): the sequence split into 2
+    # lanes of odometry + detection through ONE scan (per-lane 531k-word
+    # databases), per-lane host epilogue included in the timed region —
+    # the fleet-mapping posture at full retrieval scale.
+    from ros_stereo_slam_tpu.models.slam_scan import run_offline_slam_batched
+
+    B = 2
+    per = (n_total - 1) // B
+    lanes_l = np.stack([left_seq[s:s + per + 1] for s in (0, per)])
+    lanes_r = np.stack([right_seq[s:s + per + 1] for s in (0, per)])
+    print(f"[bench] batched full SLAM x{B}: compile + first run...",
+          file=sys.stderr)
+    run_offline_slam_batched(cfg, voc, lanes_l, lanes_r)
+    print("[bench] timed runs...", file=sys.stderr)
+    bres, bdt = _time_best(
+        lambda: run_offline_slam_batched(cfg, voc, lanes_l, lanes_r),
+        args.reps,
+    )
+    bates = [
+        float(metrics.ate_rmse(
+            r.trajectory, gt_poses[s:s + per + 1][: r.trajectory.shape[0]]))
+        for r, s in zip(bres, (0, per))
+    ]
+    online.update({
+        "slam_batched_lanes": B,
+        "slam_batched_fps_aggregate": round(B * per / bdt, 2),
+        "slam_batched_vs_baseline": round(
+            B * per / bdt / REFERENCE_CPU_FULL_FPS, 2),
+        "slam_batched_ate_rmse_m_worst_lane": round(max(bates), 4),
+    })
     return fps, float(ate), res, cfg, voc, online
 
 

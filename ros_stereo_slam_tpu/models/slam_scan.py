@@ -241,6 +241,80 @@ def run_sequence_slam(
     return lax.scan(body, (carry, lc), xs)
 
 
+@partial(jax.jit, static_argnames=("cfg", "vocab_k"))
+def run_sequence_slam_batched(
+    left_seq: jnp.ndarray,  # (B, F, H, W)
+    right_seq: jnp.ndarray,
+    carry: step_mod.SlamCarry,  # batched (leading B on every leaf)
+    lc: LCScanState,  # batched
+    grid_pts: jnp.ndarray,
+    grid_mask: jnp.ndarray,
+    centers: tuple,
+    idf: jnp.ndarray,
+    cfg: PipelineConfig,
+    vocab_k: int,
+    rgb_seq: jnp.ndarray | None = None,
+    fid_start=1,
+):
+    """Batched full SLAM: B lanes of odometry + on-device detection in
+    ONE scan (DP-over-sequences over :func:`run_sequence_slam`).
+
+    The odometry step is the hoisted-cond batched step
+    (:func:`step_batched.slam_frame_step_batched`); detection is the
+    straight-line :func:`_lc_scan_step` vmapped over lanes (it has no
+    data-dependent branches, so vmap adds no both-branch cost) with the
+    Pallas ORB kernel routed to its grid=(B,) variant via custom_vmap.
+    All lanes share the frame-id clock, so the ``detect_every`` cadence
+    stays ONE batch-level ``lax.cond`` on a scalar predicate.  Stats
+    leaves come back frame-major: (F, B, ...).
+    """
+    from ros_stereo_slam_tpu.models import step_batched
+
+    every = max(cfg.loop.detect_every, 1)
+    B = left_seq.shape[0]
+
+    def body(c, xs):
+        sc, lcs = c
+        left, right, fid, rgb = (
+            (*xs, None) if rgb_seq is None else xs
+        )
+        sc, fstats = step_batched.slam_frame_step_batched(
+            sc, left, right, grid_pts, grid_mask, cfg, left_rgb=rgb
+        )
+
+        def detect(l):
+            lf = left
+            if lf.dtype == jnp.uint8:
+                lf = lf.astype(jnp.float32) * (1.0 / 255.0)
+            return jax.vmap(
+                lambda lc1, l1: _lc_scan_step(
+                    lc1, l1, fid, centers, idf, cfg, vocab_k)
+            )(l, lf)
+
+        if every == 1:
+            lcs, lstats = detect(lcs)
+        else:
+            null_b = jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (B,) + x.shape),
+                _null_stats(cfg),
+            )
+            lcs, lstats = lax.cond(
+                fid % every == 0, detect, lambda l: (l, null_b), lcs,
+            )
+        return (sc, lcs), (fstats, lstats)
+
+    fids = jnp.int32(fid_start) + jnp.arange(
+        left_seq.shape[1], dtype=jnp.int32
+    )
+    left_t = jnp.swapaxes(left_seq, 0, 1)  # (F, B, H, W)
+    right_t = jnp.swapaxes(right_seq, 0, 1)
+    if rgb_seq is None:
+        xs = (left_t, right_t, fids)
+    else:
+        xs = (left_t, right_t, fids, jnp.swapaxes(rgb_seq, 0, 1))
+    return lax.scan(body, (carry, lc), xs)
+
+
 class EpilogueGater:
     """Replays the streaming gate chain over scan-emitted candidate rows.
 
@@ -460,23 +534,31 @@ def run_offline_slam(
     )
     jax.block_until_ready(fstats.T_wc)
 
+    return _epilogue_one(
+        cfg, lc, np.asarray(lstats.top_ids), np.asarray(lstats.top_scores),
+        np.asarray(lstats.ns), fstats, carry.keyframes,
+        lambda fid: (left_seq[fid], right_seq[fid]),
+    )
+
+
+def _epilogue_one(
+    cfg: PipelineConfig, lc, top_ids, top_scores, ns, fstats, keyframes,
+    frame_of,
+) -> ScanSlamResult:
+    """Host epilogue for ONE lane: gates -> geometric check -> accept ->
+    PnP loop edges -> deferred PGO -> map rewrite.  Shared by
+    :func:`run_offline_slam` and :func:`run_offline_slam_batched`."""
     traj_odo = np.concatenate(
         [np.eye(4, dtype=np.float32)[None], np.asarray(fstats.T_wc)], axis=0
     )
 
-    # ---- epilogue: gates -> geometric check -> accept -> PGO ----
     gate = EpilogueGater(cfg, jax.random.PRNGKey(cfg.seed + 7))
-    accepted = gate.process(
-        lc, np.asarray(lstats.top_ids), np.asarray(lstats.top_scores),
-        np.asarray(lstats.ns), fid_start=1,
-    )
+    accepted = gate.process(lc, top_ids, top_scores, ns, fid_start=1)
     loop_events, loop_edges = measure_loop_edges(
-        accepted, lc, lambda fid: (left_seq[fid], right_seq[fid]), cfg,
-        jax.random.PRNGKey(cfg.seed + 13),
+        accepted, lc, frame_of, cfg, jax.random.PRNGKey(cfg.seed + 13),
     )
 
     trajectory = traj_odo
-    keyframes = carry.keyframes
     if loop_edges:
         F = traj_odo.shape[0]
         poses = jnp.asarray(traj_odo, jnp.float32)
@@ -517,3 +599,81 @@ def run_offline_slam(
         tracking_ok=np.asarray(fstats.tracking_ok),
         keyframes=keyframes,
     )
+
+
+@partial(jax.jit, static_argnames=("cfg", "vocab_k"))
+def _lc_scan_step_batched(lc, left, frame_id, centers, idf, cfg, vocab_k):
+    """Vmapped detection step (shared scalar frame id across lanes)."""
+    return jax.vmap(
+        lambda lc1, l1: _lc_scan_step(
+            lc1, l1, frame_id, centers, idf, cfg, vocab_k)
+    )(lc, left)
+
+
+def run_offline_slam_batched(
+    cfg: PipelineConfig,
+    vocab: vocab_mod.Vocabulary,
+    left_seqs,  # (B, F, H, W) uint8 or f32
+    right_seqs,
+    rgb_seqs=None,
+) -> list[ScanSlamResult]:
+    """Batched full SLAM over B sequences: ONE scan dispatch for every
+    lane's odometry + detection, then the per-lane host epilogue.
+
+    The fleet-mapping analog of :func:`run_offline_slam` — returns one
+    :class:`ScanSlamResult` per lane.  The detection database is
+    per-lane state (B × ~100 MB at reference scale), so lane count is
+    HBM-bounded in this mode.
+    """
+    from ros_stereo_slam_tpu.models.pipeline import _grid_for
+
+    grid_pts, grid_mask = _grid_for(cfg)
+    B = left_seqs.shape[0]
+    stage_dtype = (jnp.uint8 if left_seqs.dtype == np.uint8
+                   else jnp.float32)
+    l0 = jnp.asarray(left_seqs[:, 0], stage_dtype)
+    r0 = jnp.asarray(right_seqs[:, 0], stage_dtype)
+    keys = jax.random.split(jax.random.PRNGKey(cfg.seed), B)
+    if rgb_seqs is None:
+        carry = jax.vmap(
+            lambda l, r, k: step_mod.init_carry(
+                l, r, grid_pts, grid_mask, k, cfg)
+        )(l0, r0, keys)
+    else:
+        carry = jax.vmap(
+            lambda l, r, k, g: step_mod.init_carry(
+                l, r, grid_pts, grid_mask, k, cfg, left_rgb=g)
+        )(l0, r0, keys, jnp.asarray(rgb_seqs[:, 0]))
+
+    lc0 = jax.tree.map(
+        lambda x: jnp.tile(x[None], (B,) + (1,) * x.ndim),
+        init_lc_state(cfg, vocab.n_words),
+    )
+    lc0, _ = _lc_scan_step_batched(
+        lc0, l0, jnp.int32(0), tuple(vocab.centers),
+        jnp.asarray(vocab.idf), cfg, vocab.k,
+    )
+
+    ls = jnp.asarray(left_seqs[:, 1:], stage_dtype)
+    rs = jnp.asarray(right_seqs[:, 1:], stage_dtype)
+    rgbs = None if rgb_seqs is None else jnp.asarray(rgb_seqs[:, 1:])
+    (carry, lc), (fstats, lstats) = run_sequence_slam_batched(
+        ls, rs, carry, lc0, grid_pts, grid_mask,
+        tuple(vocab.centers), jnp.asarray(vocab.idf), cfg, vocab.k,
+        rgb_seq=rgbs,
+    )
+    jax.block_until_ready(fstats.T_wc)
+
+    out = []
+    for b in range(B):
+        out.append(_epilogue_one(
+            cfg,
+            jax.tree.map(lambda x: x[b], lc),
+            np.asarray(lstats.top_ids[:, b]),
+            np.asarray(lstats.top_scores[:, b]),
+            np.asarray(lstats.ns[:, b]),
+            jax.tree.map(lambda x: x[:, b], fstats),
+            jax.tree.map(lambda x: x[b], carry.keyframes),
+            lambda fid, b=b: (left_seqs[b, fid], right_seqs[b, fid]),
+        ))
+    return out

@@ -109,7 +109,8 @@ def _level_features(
     if use_pallas:
         from ros_stereo_slam_tpu.ops import orb_pallas
 
-        sign_k, m = orb_pallas.orb_descriptors(img, pts)
+        # auto entry: routes to the grid=(B,) batched kernel under vmap
+        sign_k, m = orb_pallas.orb_descriptors_auto(img, pts)
         angle = jnp.arctan2(m[:, 1], m[:, 0])
         bits = sign_k > 0.0
         sign = sign_k * valid[:, None]

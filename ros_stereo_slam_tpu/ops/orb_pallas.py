@@ -26,11 +26,12 @@ remains the CPU/test oracle.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.custom_batching import custom_vmap
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -82,8 +83,21 @@ def _select_tile_int(img_ref, yi, xi, H: int, W: int, sel_dtype):
 
 def _orb_desc_kernel(
     px_ref, py_ref, img_ref, pat_ref, wc_ref, out_sign_ref, out_m_ref,
-    *, n_pts: int, H: int, W: int, sel_dtype,
+    *, n_pts: int, H: int, W: int, sel_dtype, batched: bool = False,
 ):
+    # `batched`: grid=(B,) multi-lane mode (see lk_pallas._lk_level_kernel)
+    # — point arrays are full (B, N) SMEM residents, image/output refs
+    # arrive per-lane via squeezed BlockSpecs, consts stay shared.
+    if batched:
+        lane = pl.program_id(0)
+
+        def rd(ref, p):
+            return ref[lane, p]
+    else:
+
+        def rd(ref, p):
+            return ref[p]
+
     patx = pat_ref[0, :]  # (512,)
     paty = pat_ref[1, :]
     wxc = wc_ref[0]  # (44, 44)
@@ -95,8 +109,8 @@ def _orb_desc_kernel(
     def body(pb, _):
         for u in range(_UNROLL):
             p = pb * _UNROLL + u
-            px = px_ref[p]
-            py = py_ref[p]
+            px = rd(px_ref, p)
+            py = rd(py_ref, p)
             xi = jnp.floor(px).astype(jnp.int32) - _HALF
             yi = jnp.floor(py).astype(jnp.int32) - _HALF
             tile = _select_tile_int(img_ref, yi, xi, H, W, sel_dtype)
@@ -187,3 +201,89 @@ def orb_descriptors(
         jnp.asarray(np.stack([_WXC, _WYC])),
     )
     return sign[:n_in], m[:n_in]
+
+
+@partial(jax.jit, static_argnames=("select_dtype", "interpret"))
+def orb_descriptors_batch(
+    imgs: jnp.ndarray,  # (B, H, W)
+    pts: jnp.ndarray,  # (B, N, 2)
+    select_dtype: str = "bf16",
+    interpret: bool = False,
+):
+    """Multi-lane :func:`orb_descriptors`: B images in ONE kernel launch
+    (grid=(B,)) — the vmap path for batched full SLAM (DP-over-sequences:
+    every lane's loop-detection ORB in one dispatch, next lane's image
+    prefetched under the current lane's compute)."""
+    B = imgs.shape[0]
+    imgp = jax.vmap(_pad_img)(imgs)
+    H, W = imgp.shape[1:]
+    n_in = pts.shape[1]
+    if n_in % _UNROLL:
+        pad = _UNROLL - n_in % _UNROLL
+        pts = jnp.pad(pts, ((0, 0), (0, pad), (0, 0)), constant_values=64.0)
+    n = pts.shape[1]
+    sign, m = pl.pallas_call(
+        partial(
+            _orb_desc_kernel, n_pts=n, H=H, W=W,
+            sel_dtype=(jnp.float32 if select_dtype == "f32"
+                       else jnp.bfloat16),
+            batched=True,
+        ),
+        grid=(B,),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, n, orb_ref.N_BITS), jnp.float32),
+            jax.ShapeDtypeStruct((B, n, 2), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, H, W), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((None, n, orb_ref.N_BITS), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n, 2), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(
+        pts[..., 0], pts[..., 1], imgp,
+        jnp.asarray(np.stack([_PX, _PY])),
+        jnp.asarray(np.stack([_WXC, _WYC])),
+    )
+    return sign[:, :n_in], m[:, :n_in]
+
+
+@lru_cache(maxsize=None)
+def _vmappable_descriptors(select_dtype: str, interpret: bool):
+    """orb_descriptors with :func:`orb_descriptors_batch` as its vmap
+    rule (see lk_pallas._vmappable_tracker for the rationale)."""
+
+    @custom_vmap
+    def f(img, pts):
+        return orb_descriptors(img, pts, select_dtype=select_dtype,
+                               interpret=interpret)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, img, pts):
+        args = []
+        for a, b in zip((img, pts), in_batched):
+            args.append(
+                a if b
+                else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+            )
+        out = orb_descriptors_batch(
+            args[0], args[1], select_dtype=select_dtype,
+            interpret=interpret)
+        return out, (True, True)
+
+    return f
+
+
+def orb_descriptors_auto(img, pts, select_dtype: str = "bf16",
+                         interpret: bool = False):
+    """Dispatch entry: single-lane semantics, lane-batched under vmap."""
+    return _vmappable_descriptors(select_dtype, interpret)(img, pts)

@@ -87,3 +87,40 @@ def test_batched_lanes_match_single(batched_setup):
         terr = np.linalg.norm(
             np.asarray(carryN.T_wc[b])[:3, 3] - gt[:3, 3])
         assert terr < 0.05, f"lane {b} final translation error {terr:.3f} m"
+
+
+def test_orb_batched_kernel_matches_single():
+    """orb_descriptors_batch (grid=(B,)) lane-matches the single kernel,
+    and jax.vmap over orb_descriptors_auto routes to it."""
+    from ros_stereo_slam_tpu.data.synthetic import _smooth_noise_2d
+    from ros_stereo_slam_tpu.ops import orb_pallas
+
+    rng = np.random.default_rng(6)
+    B, n = 3, 16
+    imgs, ptss = [], []
+    for _ in range(B):
+        imgs.append(_smooth_noise_2d((192, 256), rng, octaves=4,
+                                     base_period=16))
+        ptss.append(np.stack(
+            [rng.integers(30, 256 - 30, n), rng.integers(30, 192 - 30, n)],
+            axis=1).astype(np.float32))
+    imgs_j = jnp.asarray(np.stack(imgs))
+    ptss_j = jnp.asarray(np.stack(ptss))
+
+    bsign, bm = orb_pallas.orb_descriptors_batch(
+        imgs_j, ptss_j, interpret=True)
+    for b in range(B):
+        sign, m = orb_pallas.orb_descriptors(
+            imgs_j[b], ptss_j[b], interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(bsign[b]), np.asarray(sign), atol=1e-5,
+            err_msg=f"lane {b}")
+        np.testing.assert_allclose(
+            np.asarray(bm[b]), np.asarray(m), atol=1e-4)
+
+    vsign, vm = jax.vmap(
+        lambda i, p: orb_pallas.orb_descriptors_auto(i, p, interpret=True)
+    )(imgs_j, ptss_j)
+    np.testing.assert_allclose(np.asarray(vsign), np.asarray(bsign),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vm), np.asarray(bm), atol=1e-6)

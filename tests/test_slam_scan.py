@@ -304,3 +304,36 @@ def test_orb_pallas_kernel_matches_oracle():
     ).reshape(n, 256)
     sign_ref = np.where(vp < vq, 1.0, -1.0)
     assert (sign_k == sign_ref).mean() > 0.97
+
+
+def test_batched_full_slam_lanes_close_loops(scan_run):
+    """run_offline_slam_batched: each lane of the batched odometry +
+    detection scan must independently track, detect the revisit, and
+    close the loop to the same quality bars as the single-lane run
+    (lanes carry distinct RNG streams, so the check is per-lane quality,
+    not bit equality — the step-level bit parity lives in
+    tests/test_batched.py)."""
+    world, cfg, voc, L, res = scan_run
+    jax.clear_caches()  # see scan_run: the XLA CPU compiler aborts when
+    # entering another giant compile with many cached executables
+    n = L.shape[0]
+    R = np.stack(
+        [world.render(i)[1] for i in range(n)]).astype(np.float32)
+    Lb = np.stack([L, L])
+    Rb = np.stack([R, R])
+    results = slam_scan.run_offline_slam_batched(cfg, voc, Lb, Rb)
+    assert len(results) == 2
+    gt = world.poses
+    steps = world.n_frames - 8
+    for b, r in enumerate(results):
+        assert r.tracking_ok.all(), f"lane {b} lost tracking"
+        assert r.loop_events, f"lane {b} found no loop closure"
+        q, m, n_inl = r.loop_events[0]
+        assert q >= steps - 4 and m <= 12, f"lane {b}: ({q}, {m})"
+        assert n_inl >= cfg.loop.geom_min_points
+        ate = metrics.ate_rmse(
+            r.trajectory, gt[: r.trajectory.shape[0]], align=True)
+        ate_odo = metrics.ate_rmse(
+            r.trajectory_odo, gt[: r.trajectory_odo.shape[0]], align=True)
+        assert ate < ate_odo, f"lane {b}: PGO must reduce drift"
+        assert ate < 0.25, f"lane {b} post-PGO ATE {ate:.3f} m"
