@@ -292,8 +292,13 @@ def bench_full_slam(args, cam, left_seq, right_seq, gt_poses):
 
     B = 2
     per = (n_total - 1) // B
-    lanes_l = np.stack([left_seq[s:s + per + 1] for s in (0, per)])
-    lanes_r = np.stack([right_seq[s:s + per + 1] for s in (0, per)])
+    # pre-staged in HBM like every other compute row (a numpy stack here
+    # would re-cross the dev tunnel's ~45 MB/s link on every timed rep)
+    lanes_l = jax.device_put(jnp.asarray(
+        np.stack([left_seq[s:s + per + 1] for s in (0, per)]), jnp.float32))
+    lanes_r = jax.device_put(jnp.asarray(
+        np.stack([right_seq[s:s + per + 1] for s in (0, per)]), jnp.float32))
+    jax.block_until_ready((lanes_l, lanes_r))
     print(f"[bench] batched full SLAM x{B}: compile + first run...",
           file=sys.stderr)
     run_offline_slam_batched(cfg, voc, lanes_l, lanes_r)
