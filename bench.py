@@ -174,71 +174,92 @@ def bench_odometry(args, cfg, left_seq, right_seq, gt_poses,
     return fps, float(ate), res
 
 
-def bench_full_slam(args, cam, left_seq, right_seq, gt_poses):
-    """Config 3: odometry + on-device loop detection in the SAME scan +
-    host gate/PGO/map-rewrite epilogue (models/slam_scan.py)."""
+def _slam_cfg(args, cam):
+    """The full-SLAM bench configuration at reference scale: k=9, L=6 =
+    531,441 words and a 4,096-frame database (the reference trains k=9
+    L=6 vocabularies, bagOfWordsDetector.cpp:21, and allocates 4,000 db
+    entries, visualSLAM.h:137).  The sparse BoW database makes this
+    ~100 MB of device state; a dense (capacity, n_words) matrix would
+    be ~8.7 GB."""
     import dataclasses
-
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
 
     from ros_stereo_slam_tpu.config import (
         LoopClosureConfig, preset_loop_closure,
     )
-    from ros_stereo_slam_tpu.models import vocab as vocab_mod
-    from ros_stereo_slam_tpu.models.slam_scan import run_offline_slam
-    from ros_stereo_slam_tpu.ops import orb
-    from ros_stereo_slam_tpu.utils import metrics
 
-    # Reference scale: k=9, L=6 = 531,441 words and a 4,096-frame
-    # database (the reference trains k=9 L=6 vocabularies,
-    # bagOfWordsDetector.cpp:21, and allocates 4,000 db entries,
-    # visualSLAM.h:137).  The sparse BoW database makes this ~100 MB
-    # of device state; a dense (capacity, n_words) matrix would be
-    # ~8.7 GB.
-    cfg = preset_loop_closure().replace(
+    return preset_loop_closure().replace(
         camera=cam,
         loop=dataclasses.replace(
             LoopClosureConfig(), db_capacity=4096,
             detect_every=args.detect_every,
         ),
     )
-    n_total = left_seq.shape[0]
-    # The trained vocabulary is a deterministic function of the rendered
-    # world + ORB/vocab params; cache it under /tmp so repeated bench
-    # invocations skip the ~10 min offline training step (untimed either
-    # way — delete the cache file to retrain).
+
+
+def _trained_vocab(cfg, left_seq):
+    """Train (or load from the repo-local cache) the reference-scale
+    vocabulary for a rendered world.  The trained vocabulary is a
+    deterministic function of the world's pixels + ORB/vocab params —
+    both pinned in the cache key — so repeated bench invocations skip
+    the ~10 min offline training step (untimed either way; delete the
+    cache file to retrain).  The cache lives under <repo>/runs/.cache,
+    not a predictable world-writable /tmp path another user could
+    pre-seed."""
     import hashlib
 
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ros_stereo_slam_tpu.models import vocab as vocab_mod
+    from ros_stereo_slam_tpu.ops import orb
+
+    n_total = left_seq.shape[0]
     wkey = hashlib.sha1(
         np.ascontiguousarray(left_seq[:: max(n_total // 8, 1)])
     ).hexdigest()[:16]
     ckey = (f"{wkey}_{n_total}_{cfg.loop.orb_features}_"
             f"{cfg.loop.orb_levels}_{cfg.loop.vocab_k}_"
             f"{cfg.loop.vocab_levels}")
-    cache = f"/tmp/bench_vocab_{ckey}.npz"
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "runs", ".cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    cache = os.path.join(cache_dir, f"bench_vocab_{ckey}.npz")
     if os.path.exists(cache):
         print(f"[bench] loading cached vocabulary ({cache})...",
               file=sys.stderr)
-        voc = vocab_mod.Vocabulary.load(cache)
-    else:
-        print("[bench] training vocabulary (untimed offline step)...",
-              file=sys.stderr)
-        descs, docs = [], []
-        for i in range(0, n_total, 8):
-            f = orb.detect_and_compute(
-                jnp.asarray(left_seq[i]), cfg.loop.orb_features,
-                n_levels=cfg.loop.orb_levels,
-            )
-            v = np.asarray(f.valid)
-            descs.append(np.asarray(f.desc_sign)[v])
-            docs.append(np.full(int(v.sum()), i))
-        voc = vocab_mod.train_batched(
-            np.concatenate(descs), k=cfg.loop.vocab_k,
-            levels=cfg.loop.vocab_levels, doc_ids=np.concatenate(docs),
+        return vocab_mod.Vocabulary.load(cache)
+    print("[bench] training vocabulary (untimed offline step)...",
+          file=sys.stderr)
+    descs, docs = [], []
+    for i in range(0, n_total, 8):
+        f = orb.detect_and_compute(
+            jnp.asarray(left_seq[i]), cfg.loop.orb_features,
+            n_levels=cfg.loop.orb_levels,
         )
-        voc.save(cache)
+        v = np.asarray(f.valid)
+        descs.append(np.asarray(f.desc_sign)[v])
+        docs.append(np.full(int(v.sum()), i))
+    voc = vocab_mod.train_batched(
+        np.concatenate(descs), k=cfg.loop.vocab_k,
+        levels=cfg.loop.vocab_levels, doc_ids=np.concatenate(docs),
+    )
+    voc.save(cache)
+    return voc
+
+
+def bench_full_slam(args, cam, left_seq, right_seq, gt_poses):
+    """Config 3: odometry + on-device loop detection in the SAME scan +
+    host gate/PGO/map-rewrite epilogue (models/slam_scan.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ros_stereo_slam_tpu.models.slam_scan import run_offline_slam
+    from ros_stereo_slam_tpu.utils import metrics
+
+    cfg = _slam_cfg(args, cam)
+    n_total = left_seq.shape[0]
+    voc = _trained_vocab(cfg, left_seq)
     left_dev = jax.device_put(jnp.asarray(left_seq, jnp.float32))
     right_dev = jax.device_put(jnp.asarray(right_seq, jnp.float32))
     jax.block_until_ready((left_dev, right_dev))
@@ -320,6 +341,60 @@ def bench_full_slam(args, cam, left_seq, right_seq, gt_poses):
         "slam_batched_ate_rmse_m_worst_lane": round(max(bates), 4),
     })
     return fps, float(ate), res, cfg, voc, online
+
+
+def bench_revisit_slam(args, cam, gt_unused=None):
+    """Closures INSIDE the driver-captured timed region.
+
+    The reference's only operating mode detects every frame and closes
+    loops live (``/root/reference/src/optimizationStuff.cpp:49-65``,
+    ``src/VisualSLAM.cpp:76-86``); the corridor headline world has no
+    revisits, so its full-SLAM row exercises zero closures.  This row
+    renders the jittered 2-lap revisit world (lap 2 re-rendered under
+    smooth viewpoint + illumination perturbation — revisits are
+    NON-identical frames) and times the same scan + epilogue path:
+    detection, gate chain, geometric verification, PnP loop-edge
+    measurement, deferred PGO over all accepted edges, and the keyframe
+    cloud/pose rewrite all run inside the measurement.  Shares the
+    corridor full-SLAM row's cfg, so XLA reuses its compilation.
+    """
+    import argparse as _ap
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+
+    from ros_stereo_slam_tpu.models.slam_scan import run_offline_slam
+    from ros_stereo_slam_tpu.utils import metrics
+
+    rv_args = copy.copy(args) if not isinstance(args, _ap.Namespace) \
+        else _ap.Namespace(**vars(args))
+    rv_args.world = "revisit"
+    rv_args.jitter = True
+    left_seq, right_seq, gt_poses = _render_world(rv_args, cam)
+    cfg = _slam_cfg(args, cam)
+    voc = _trained_vocab(cfg, left_seq)
+    left_dev = jax.device_put(jnp.asarray(left_seq, jnp.float32))
+    right_dev = jax.device_put(jnp.asarray(right_seq, jnp.float32))
+    jax.block_until_ready((left_dev, right_dev))
+    print("[bench] revisit full SLAM: compile + first run...",
+          file=sys.stderr)
+    run_offline_slam(cfg, voc, left_dev, right_dev)
+    print("[bench] timed runs...", file=sys.stderr)
+    res, dt = _time_best(
+        lambda: run_offline_slam(cfg, voc, left_dev, right_dev), args.reps
+    )
+    fps = args.frames / dt
+    ate = metrics.ate_rmse(
+        res.trajectory, gt_poses[: res.trajectory.shape[0]]
+    )
+    return {
+        "slam_revisit_fps": round(fps, 2),
+        "slam_revisit_vs_baseline": round(fps / REFERENCE_CPU_FULL_FPS, 2),
+        "slam_revisit_ate_rmse_m": round(float(ate), 4),
+        "slam_revisit_loop_events": len(res.loop_events),
+        "slam_revisit_world": "revisit+jitter",
+    }
 
 
 def bench_batched(args, cfg, left_seq, right_seq, gt_poses):
@@ -617,6 +692,51 @@ def main() -> None:
                 "map_points": int(n),
             })
 
+    if args.preset == "headline":
+        # Config 2 (mapping) and config 4 (BA) rows in the driver-
+        # captured artifact — previously reachable only via --preset.
+        import numpy as np
+
+        from ros_stereo_slam_tpu.config import preset_mapping
+        from ros_stereo_slam_tpu.models.pipeline import map_points_of
+        from ros_stereo_slam_tpu.utils import ply
+
+        try:
+            mcfg = preset_mapping().replace(camera=cam)
+            # uint8 RGB staging (cast per frame inside the scan)
+            rgb = np.repeat(
+                np.clip(left_seq * 255.0, 0, 255).astype(np.uint8)[..., None],
+                3, axis=-1)
+            m_fps, m_ate, m_res = bench_odometry(
+                args, mcfg, left_seq, right_seq, gt_poses, rgb_seq=rgb,
+                tag="mapping",
+            )
+            del rgb
+            pts, cols = map_points_of(m_res.keyframes)
+            n_pts = ply.save_ply("/tmp/bench_map.ply", pts, cols)
+            result.update({
+                "mapping_fps": round(m_fps, 2),
+                "mapping_vs_baseline": round(m_fps / REFERENCE_CPU_FPS, 2),
+                "mapping_ate_rmse_m": round(m_ate, 4),
+                "map_points": int(n_pts),
+            })
+        except Exception as e:  # keep the headline row robust
+            print(f"[bench] mapping row skipped: {e!r}", file=sys.stderr)
+        try:
+            bcfg = preset_ba().replace(camera=cam)
+            b_fps, b_ate, _ = bench_odometry(
+                args, bcfg, left_seq, right_seq, gt_poses, tag="ba",
+            )
+            result.update({
+                "ba_fps": round(b_fps, 2),
+                "ba_vs_baseline": round(b_fps / REFERENCE_CPU_FPS, 2),
+                "ba_ate_rmse_m": round(b_ate, 4),
+                "ba_window": bcfg.ba.window,
+                "ba_iters": bcfg.ba.iters,
+            })
+        except Exception as e:
+            print(f"[bench] ba row skipped: {e!r}", file=sys.stderr)
+
     if args.preset == "ba":
         # Config 4: windowed Schur BA inside the per-frame step.
         bcfg = preset_ba().replace(camera=cam)
@@ -656,6 +776,15 @@ def main() -> None:
                 "mode": "scan+epilogue",
             })
         result.update(slam_row)
+
+    if args.preset == "headline" and args.world == "corridor":
+        # Closures in the timed region: the jittered revisit full-SLAM
+        # row (detection + verification + PGO + rewrite all inside the
+        # measurement — the reference's only operating mode).
+        try:
+            result.update(bench_revisit_slam(args, cam))
+        except Exception as e:
+            print(f"[bench] revisit row skipped: {e!r}", file=sys.stderr)
 
     if args.preset in ("headline", "batched"):
         try:

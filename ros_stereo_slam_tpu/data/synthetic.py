@@ -300,15 +300,17 @@ def jitter_poses(
     t = np.arange(n) / max(n, 1)  # [0, 1) lap phase
 
     def smooth(scale: float) -> np.ndarray:
-        """(n, 3) periodic smooth noise, RMS ~= scale per component."""
+        """(n, 3) periodic smooth noise with RMS VECTOR NORM == scale
+        (normalizing per-component would overshoot the promised offset
+        magnitude by sqrt(3))."""
         sig = np.zeros((n, 3))
         for c in range(3):
             for k in range(1, waves + 1):
                 amp = rng.normal(0.0, 1.0)
                 phase = rng.uniform(0.0, 2.0 * np.pi)
                 sig[:, c] += amp * np.sin(2.0 * np.pi * k * t + phase)
-        rms = np.sqrt(np.mean(sig**2, axis=0, keepdims=True))
-        return sig / np.maximum(rms, 1e-9) * scale
+        rms = np.sqrt(np.mean(np.sum(sig**2, axis=1)))
+        return sig / max(rms, 1e-9) * scale
 
     dts = smooth(trans_m)
     rvs = smooth(np.deg2rad(rot_deg))

@@ -55,6 +55,35 @@ from ros_stereo_slam_tpu.ops import orb as orb_mod
 from ros_stereo_slam_tpu.ops import ransac
 
 
+def geom_key(query: int, match: int) -> jax.Array:
+    """Deterministic RANSAC key for geometrically verifying a (query,
+    match) candidate pair.
+
+    Every driver (streaming, scan epilogue, chunked online) derives the
+    key from the PAIR ITSELF rather than from a running ``split`` stream:
+    with a stream, whether a borderline candidate verifies depends on how
+    many candidates the driver happened to check before it, so two
+    drivers processing identical candidate sequences could diverge on one
+    RANSAC draw — and the 100-frame cooldown then phase-shifts every
+    later accept (measured in round 3: the per-frame streaming driver
+    accepted 7 of the 13 closures the scan/chunked drivers found).
+    Pair-derived keys make verification a pure function of
+    (query, match, database contents), so all postures accept the same
+    closure set by construction (tests/test_posture_parity.py).
+    """
+    return jax.random.fold_in(
+        jax.random.fold_in(jax.random.PRNGKey(77), query), match
+    )
+
+
+def edge_key(query: int, match: int) -> jax.Array:
+    """Deterministic key for the PnP loop-edge measurement of a pair
+    (same rationale as :func:`geom_key`; distinct stream)."""
+    return jax.random.fold_in(
+        jax.random.fold_in(jax.random.PRNGKey(4321), query), match
+    )
+
+
 @dataclass
 class LoopCandidate:
     query: int
@@ -254,7 +283,6 @@ class LoopDetector:
         self._gater = CandidateGater(
             self.config, stride=max(self.config.detect_every, 1)
         )
-        self._key = jax.random.PRNGKey(77)
 
     # -- internals ---------------------------------------------------------
 
@@ -306,7 +334,7 @@ class LoopDetector:
             if gated is not None:
                 best_id, best_score, consistent = gated
                 slot = best_id % cfg.db_capacity
-                self._key, k = jax.random.split(self._key)
+                k = geom_key(frame_id, best_id)
                 n_inl_d, best_d, inl_d = _geom_match(
                     feats.desc_bits, feats.pts, feats.valid,
                     self.db_bits[slot], self.db_pts[slot],

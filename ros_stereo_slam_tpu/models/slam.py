@@ -83,19 +83,32 @@ class StereoSLAM:
             )
         self.trajectory_dev = self.trajectory_dev.at[f].set(T_wc)
 
-    def _detect_loop(self, left_dev: jnp.ndarray) -> loop_closure.LoopCandidate | None:
+    def _detect_loop(
+        self, left_dev: jnp.ndarray, suppressed: bool
+    ) -> loop_closure.LoopCandidate | None:
+        """Detection + accept rule for one frame.
+
+        `suppressed`: True while the post-closure cooldown is active.
+        The cooldown counter itself decrements once per FRAME in
+        :meth:`process_frame` (the reference's ``checkLoopDetectorStatus``
+        runs — and its driver decrements — every frame,
+        ``src/optimizationStuff.cpp:49-63``); decrementing it here, on
+        detection frames only, made the effective cooldown
+        ``cooldown * detect_every`` frames and halved streaming recall at
+        the default stride (round-3 finding: 7 of 13 closures).
+        Detection still runs during cooldown so the database add and the
+        temporal-window state stay aligned with the scan-mode epilogue.
+        """
         if self.detector is None:
             return None
         feats = orb.detect_and_compute(
             left_dev, self.config.loop.orb_features,
+            self.config.frontend.fast_thresh / 255.0,
             n_levels=self.config.loop.orb_levels,
         )
         self._last_feats = feats  # kept for the PnP loop-edge measurement
         cand = self.detector.detect(self.frame_count, feats)
-        if self.cooldown > 0:
-            self.cooldown -= 1
-            return None
-        if cand is None:
+        if suppressed or cand is None:
             return None
         if cand.query - cand.match <= self.config.loop.min_separation:
             return None
@@ -149,7 +162,9 @@ class StereoSLAM:
         slot = cand.match % cfg.loop.db_capacity
         uv_m = self.detector.db_pts[slot][jnp.asarray(cand.match_idx)]
         mask = jnp.asarray(cand.match_inliers) & tri.valid
-        key = jax.random.fold_in(self._carry.key, 4321)
+        # pair-derived key: the measured edge is identical in every
+        # driver (loop_closure.edge_key rationale)
+        key = loop_closure.edge_key(cand.query, cand.match)
         res = pnp.pnp_ransac(
             key, cam, tri.points, uv_m, mask,
             thresh_px=cfg.loop.geom_thresh_px, iters=128,
@@ -185,7 +200,9 @@ class StereoSLAM:
         self.graph.initialize()
         if self.detector is not None:
             feats = orb.detect_and_compute(
-                left_dev, cfg.loop.orb_features, n_levels=cfg.loop.orb_levels
+                left_dev, cfg.loop.orb_features,
+                cfg.frontend.fast_thresh / 255.0,
+                n_levels=cfg.loop.orb_levels,
             )
             self.detector.add(0, feats)
         n = int(jnp.sum(self._carry.track.mask))
@@ -223,8 +240,12 @@ class StereoSLAM:
         # streaming driver skips the same frames (ORB + BoW + query AND
         # the database add — non-detection frames never enter the db).
         every = max(cfg.loop.detect_every, 1)
+        # cooldown decrements once per FRAME (see _detect_loop docstring)
+        suppressed = self.cooldown > 0
+        if suppressed:
+            self.cooldown -= 1
         cand = (
-            self._detect_loop(left_dev)
+            self._detect_loop(left_dev, suppressed)
             if self.frame_count % every == 0 else None
         )
         loop_closed = False

@@ -52,6 +52,7 @@ class ChunkInfo(NamedTuple):
     """Per-chunk outputs (host numpy) from :meth:`ChunkedSLAM.process_chunk`."""
 
     T_wc: np.ndarray  # (C, 4, 4) live poses of this chunk's frames
+    n_tracked: np.ndarray  # (C,)
     n_inliers: np.ndarray  # (C,)
     is_keyframe: np.ndarray  # (C,)
     tracking_ok: np.ndarray  # (C,)
@@ -101,10 +102,7 @@ class ChunkedSLAM:
         self.trajectory_dev = jnp.tile(
             jnp.eye(4, dtype=jnp.float32), (cfg.pgo.max_poses, 1, 1)
         )
-        self.gate = slam_scan.EpilogueGater(
-            cfg, jax.random.PRNGKey(cfg.seed + 7)
-        )
-        self._edge_key = jax.random.PRNGKey(cfg.seed + 13)
+        self.gate = slam_scan.EpilogueGater(cfg)
         self.loop_events: list = []
         self.n_corrections = 0
         self._n_inl, self._is_kf, self._ok = [], [], []
@@ -157,10 +155,12 @@ class ChunkedSLAM:
         )
         n = ls.shape[0]
         # ONE host round trip per chunk: poses + detection shortlists.
-        T_np, top_ids, top_scores, ns_arr, n_inl_np, is_kf_np, ok_np = (
+        (T_np, top_ids, top_scores, ns_arr, n_trk_np, n_inl_np, is_kf_np,
+         ok_np) = (
             jax.device_get((
                 fstats.T_wc, lstats.top_ids, lstats.top_scores, lstats.ns,
-                fstats.n_inliers, fstats.is_keyframe, fstats.tracking_ok,
+                fstats.n_tracked, fstats.n_inliers, fstats.is_keyframe,
+                fstats.tracking_ok,
             ))
         )
         self._n_inl.append(n_inl_np)
@@ -188,9 +188,8 @@ class ChunkedSLAM:
             if query_frames is None:
                 def query_frames(fid):
                     return lefts[fid - pos], rights[fid - pos]
-            self._edge_key, ek = jax.random.split(self._edge_key)
             events, edges = slam_scan.measure_loop_edges(
-                accepted, self._lc, query_frames, cfg, ek,
+                accepted, self._lc, query_frames, cfg,
             )
             self.loop_events.extend(events)
             for (i, j, Z) in edges:
@@ -206,9 +205,9 @@ class ChunkedSLAM:
             self._prev_T = T_opt
             self.n_corrections += 1
         return ChunkInfo(
-            T_wc=T_np, n_inliers=n_inl_np, is_keyframe=is_kf_np,
-            tracking_ok=ok_np, n_accepted=len(accepted),
-            corrected=bool(accepted),
+            T_wc=T_np, n_tracked=n_trk_np, n_inliers=n_inl_np,
+            is_keyframe=is_kf_np, tracking_ok=ok_np,
+            n_accepted=len(accepted), corrected=bool(accepted),
         )
 
     def _apply_correction(self, T_opt, new_poses, old_poses, right_img,

@@ -329,17 +329,22 @@ class EpilogueGater:
     gate candidate that fails geometry must NOT suppress detection on
     the following frames.
 
-    Stateful across calls (cooldown, temporal window, PRNG key), so one
-    instance processes an arbitrary split of the sequence into blocks.
+    Stateful across calls (cooldown, temporal window), so one instance
+    processes an arbitrary split of the sequence into blocks.  RANSAC
+    keys for geometric verification are derived from each (query, match)
+    pair (:func:`loop_closure.geom_key`), NOT from a running stream, so
+    every posture accepts the same closure set.
     """
 
-    def __init__(self, cfg: PipelineConfig, key):
+    def __init__(self, cfg: PipelineConfig, key=None):
+        # `key` retained for signature compatibility; geometric keys are
+        # pair-derived (loop_closure.geom_key) since round 4.
+        del key
         self.cfg = cfg
         self.lcc = cfg.loop
         self.every = max(cfg.loop.detect_every, 1)
         self.gater = lc_mod.CandidateGater(cfg.loop, stride=self.every)
         self.cooldown = 0
-        self.key = key
 
     def process(self, lc: LCScanState, top_ids, top_scores, ns_arr,
                 fid_start: int) -> list:
@@ -368,7 +373,7 @@ class EpilogueGater:
             best_id, _, _ = gated
             # geometric verification (same op the streaming detector
             # runs; rare, so a per-candidate device call is fine here)
-            self.key, k = jax.random.split(self.key)
+            k = lc_mod.geom_key(fid, best_id)
             n_inl_d, bi_d, im_d = lc_mod._geom_match(
                 lc.db_bits[fid % cap], lc.db_pts[fid % cap],
                 lc.db_pt_valid[fid % cap],
@@ -391,15 +396,20 @@ class EpilogueGater:
 
 
 def measure_loop_edges(
-    accepted: list, lc: LCScanState, frame_of, cfg: PipelineConfig, key,
+    accepted: list, lc: LCScanState, frame_of, cfg: PipelineConfig,
+    key=None,
 ) -> tuple[list, list]:
     """Accepted closures -> (i, j, Z) pose-graph edges + loop events.
 
     PnP-measured edges when configured (identity fallback to ``match-1``,
     the reference's shipped semantics, ``poseGraph.h:113-126``).
-    `frame_of`: callable ``fid -> (left, right)``.
+    `frame_of`: callable ``fid -> (left, right)``.  PnP keys are derived
+    per (query, match) pair (:func:`loop_closure.edge_key`) so the
+    measured edge is identical in every driver; `key` is retained for
+    signature compatibility and unused.
     Returns (loop_events, loop_edges).
     """
+    del key
     loop_events, loop_edges = [], []
     if not accepted:
         return loop_events, loop_edges
@@ -412,7 +422,7 @@ def measure_loop_edges(
         )
         Zs = _measure_edges_pnp(
             (lc.db_pts, lc.db_pt_valid), sel, sel_geom,
-            frame_of, cfg, key,
+            frame_of, cfg,
         )
     else:
         Zs = [None] * len(accepted)
@@ -436,10 +446,13 @@ class ScanSlamResult:
     is_keyframe: np.ndarray
     tracking_ok: np.ndarray
     keyframes: object
+    # accepted (i, j, Z) pose-graph loop edges — kept so CLI runs can
+    # export a complete poseGraph.g2o (utils/outputs.ScanRun)
+    loop_edges: list = None
 
 
 def _measure_edges_pnp(
-    lc_arrays, cands, geom, frame_of, cfg: PipelineConfig, key
+    lc_arrays, cands, geom, frame_of, cfg: PipelineConfig
 ):
     """PnP-measured loop edges Z = T_q^-1 T_match for accepted candidates
     (the reference's unbuilt ``getLCMeasurement``, ``dump.cpp:331-348``).
@@ -476,7 +489,7 @@ def _measure_edges_pnp(
         )
         uv_m = db_pts[m % cap][best_idx[ci]]
         mask = inl_mask[ci] & tri.valid
-        key, k = jax.random.split(key)
+        k = lc_mod.edge_key(q, m)
         res = pnp.pnp_ransac(
             k, cam, tri.points, uv_m, mask,
             thresh_px=cfg.loop.geom_thresh_px, iters=128,
@@ -552,11 +565,9 @@ def _epilogue_one(
         [np.eye(4, dtype=np.float32)[None], np.asarray(fstats.T_wc)], axis=0
     )
 
-    gate = EpilogueGater(cfg, jax.random.PRNGKey(cfg.seed + 7))
+    gate = EpilogueGater(cfg)
     accepted = gate.process(lc, top_ids, top_scores, ns, fid_start=1)
-    loop_events, loop_edges = measure_loop_edges(
-        accepted, lc, frame_of, cfg, jax.random.PRNGKey(cfg.seed + 13),
-    )
+    loop_events, loop_edges = measure_loop_edges(accepted, lc, frame_of, cfg)
 
     trajectory = traj_odo
     if loop_edges:
@@ -598,6 +609,7 @@ def _epilogue_one(
         is_keyframe=np.asarray(fstats.is_keyframe),
         tracking_ok=np.asarray(fstats.tracking_ok),
         keyframes=keyframes,
+        loop_edges=loop_edges,
     )
 
 

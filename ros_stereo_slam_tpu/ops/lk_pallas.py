@@ -95,6 +95,28 @@ def _select_tile(img_ref, yf, xf, n: int, H: int, W: int,
     return D[: n + 1, : n + 1], fx, fy
 
 
+# Per-core SMEM budget the multi-lane kernels size against (the scalar
+# memory the four (B, N) f32 point arrays live in, see _lk_level_kernel
+# docstring).  Mosaic fails with an opaque allocation error when blown;
+# guard with a descriptive one instead.
+_SMEM_BUDGET_BYTES = 1 << 20
+
+
+def _check_smem_lanes(name: str, B: int, n: int, arrays: int = 4) -> None:
+    """Raise a descriptive error when a multi-lane kernel's (B, N) f32
+    SMEM-resident point arrays would exceed the SMEM budget (leaving
+    ~25% headroom for Mosaic's own scalars/loop state)."""
+    need = arrays * B * n * 4
+    budget = int(_SMEM_BUDGET_BYTES * 0.75)
+    if need > budget:
+        raise ValueError(
+            f"{name}: {arrays} lane-point arrays of shape ({B}, {n}) f32 "
+            f"need {need} B of SMEM (budget ~{budget} B). Chunk the lane "
+            f"dimension (B <= {max(budget // (arrays * n * 4), 1)} at "
+            f"N={n}) and concatenate results."
+        )
+
+
 def _lk_level_kernel(
     px_ref, py_ref, gx0_ref, gy0_ref, tmpl_ref, cur_ref,
     out_pts_ref, out_meta_ref,
@@ -367,6 +389,7 @@ def track_level_batch(
         guesses = jnp.pad(
             guesses, ((0, 0), (0, pad), (0, 0)), constant_values=32.0)
     n = ref_pts.shape[1]
+    _check_smem_lanes("track_level_batch", B, n)
 
     lane_img = pl.BlockSpec(
         (None, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)

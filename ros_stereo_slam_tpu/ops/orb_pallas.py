@@ -222,6 +222,9 @@ def orb_descriptors_batch(
         pad = _UNROLL - n_in % _UNROLL
         pts = jnp.pad(pts, ((0, 0), (0, pad), (0, 0)), constant_values=64.0)
     n = pts.shape[1]
+    from ros_stereo_slam_tpu.ops.lk_pallas import _check_smem_lanes
+
+    _check_smem_lanes("orb_descriptors_batch", B, n, arrays=2)
     sign, m = pl.pallas_call(
         partial(
             _orb_desc_kernel, n_pts=n, H=H, W=W,

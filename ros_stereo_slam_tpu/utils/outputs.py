@@ -114,3 +114,91 @@ class RunOutputs:
         with open(os.path.join(self.out_dir, "summary.json"), "w") as f:
             json.dump(summary, f, indent=2)
         return summary
+
+
+@dataclass
+class ScanRun:
+    """Adapts a whole-sequence scan result to the streaming-driver
+    surface :meth:`RunOutputs.finalize` expects.
+
+    Wraps either a :class:`~ros_stereo_slam_tpu.models.pipeline.
+    OfflineResult` (odometry/mapping/ba presets) or a
+    :class:`~ros_stereo_slam_tpu.models.slam_scan.ScanSlamResult`
+    (loop-closure preset), so the CLIs' ``--mode scan`` — the
+    highest-throughput posture — produces the same artifact set
+    (trajectory/map/g2o/metrics) as the streaming and chunked modes.
+    """
+
+    result: object
+    config: object
+
+    def trajectory_array(self) -> np.ndarray:
+        return np.asarray(self.result.trajectory)
+
+    @property
+    def loop_events(self) -> list:
+        return getattr(self.result, "loop_events", []) or []
+
+    @property
+    def keyframe_frames(self) -> list:
+        kf = self.result.keyframes
+        idx = np.asarray(kf.frame_idx)[np.asarray(kf.valid)]
+        return sorted(int(i) for i in np.unique(idx))
+
+    def map_points(self):
+        from ros_stereo_slam_tpu.models.pipeline import map_points_of
+
+        return map_points_of(self.result.keyframes)
+
+    def save_map(self, path: str) -> int:
+        pts, cols = self.map_points()
+        return ply_mod.save_ply(path, pts, cols)
+
+    def save_graph(self, path: str) -> None:
+        """g2o export: odometry-chain edges from the RAW odometry
+        trajectory (the measured relative motions, as the reference's
+        ``saveStructure``) plus any accepted loop edges; vertices at the
+        final (post-PGO) trajectory."""
+        import jax.numpy as jnp
+
+        from ros_stereo_slam_tpu.models import pose_graph as pg_mod
+
+        traj = self.trajectory_array()
+        traj_odo = np.asarray(
+            getattr(self.result, "trajectory_odo", traj))
+        g = pg_mod.PoseGraph(self.config.pgo)
+        g.initialize()
+        Zs = np.asarray(pg_mod.chain_measurements(
+            jnp.asarray(traj_odo, jnp.float32)))
+        g.add_odometry_batch(Zs[1:])
+        for (i, j, Z) in (getattr(self.result, "loop_edges", None) or []):
+            g.add_loop(int(i), int(j), jnp.asarray(Z, jnp.float32))
+        g.save(path, traj)
+
+    def frame_infos(self) -> list:
+        """Per-frame FrameInfo rows (frame 0 = bootstrap) for
+        :meth:`RunOutputs.log_frame` — scan runs emit the same
+        metrics.jsonl schema as the per-frame drivers."""
+        from ros_stereo_slam_tpu.models.pipeline import FrameInfo
+
+        res = self.result
+        traj = self.trajectory_array()
+        n_tracked = getattr(res, "n_tracked", None)
+        infos = [FrameInfo(
+            frame=0, T_wc=traj[0], n_tracked=0, n_inliers=0,
+            is_keyframe=True, tracking_ok=True, used_retry=False,
+        )]
+        used_retry = getattr(res, "used_retry", None)
+        for i in range(len(res.n_inliers)):
+            infos.append(FrameInfo(
+                frame=i + 1,
+                T_wc=traj[i + 1],
+                n_tracked=int(n_tracked[i]) if n_tracked is not None
+                else int(res.n_inliers[i]),
+                n_inliers=int(res.n_inliers[i]),
+                is_keyframe=bool(res.is_keyframe[i]),
+                tracking_ok=bool(res.tracking_ok[i]),
+                used_retry=bool(used_retry[i])
+                if used_retry is not None else False,
+            ))
+        return infos

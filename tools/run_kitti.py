@@ -29,11 +29,16 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--mode", default="stream",
-                    choices=["stream", "chunked"],
+                    choices=["stream", "chunked", "scan"],
                     help="stream = per-frame dispatch (models/slam.py); "
                     "chunked = 32-frame micro-batch scans with per-chunk "
                     "PGO correction (models/slam_chunked.py; requires "
-                    "--preset loop_closure + --vocab)")
+                    "--preset loop_closure + --vocab); "
+                    "scan = whole-sequence single-dispatch offline "
+                    "posture (the throughput headline: models/slam_scan "
+                    "for loop_closure, models/pipeline.run_offline "
+                    "otherwise) — frames are staged in HBM as uint8 and "
+                    "correction is deferred to the epilogue")
     ap.add_argument("--chunk", type=int, default=32)
     args = ap.parse_args()
 
@@ -70,7 +75,44 @@ def main():
     timer = StageTimer()
     fps = FpsMeter()
 
-    if args.mode == "chunked":
+    if args.mode == "scan":
+        import numpy as np
+
+        from ros_stereo_slam_tpu.models.pipeline import FrameInfo
+        from ros_stereo_slam_tpu.utils.outputs import ScanRun
+
+        with timer.stage("io"):
+            # uint8 staging: 4x less HBM than f32 (a 4,500-frame KITTI
+            # sequence is ~4.2 GB as uint8 stereo pairs vs ~16.8 GB f32)
+            fr = [seq.frame(i) for i in range(n)]
+            lefts = np.stack([
+                np.clip(f[0] * 255.0, 0, 255).astype(np.uint8) for f in fr])
+            rights = np.stack([
+                np.clip(f[1] * 255.0, 0, 255).astype(np.uint8) for f in fr])
+            del fr
+            rgb = (np.stack([
+                np.clip(seq.frame_rgb(i) * 255.0, 0, 255).astype(np.uint8)
+                for i in range(n)])
+                if (cfg.export_map and seq.rgb_available) else None)
+        with timer.stage("scan"):
+            if cfg.loop.enabled:
+                from ros_stereo_slam_tpu.models.slam_scan import (
+                    run_offline_slam,
+                )
+
+                res = run_offline_slam(cfg, vocab, lefts, rights,
+                                       rgb_seq=rgb)
+            else:
+                from ros_stereo_slam_tpu.models.pipeline import run_offline
+
+                res = run_offline(cfg, lefts, rights, rgb_seq=rgb)
+        slam = ScanRun(res, cfg)
+        for info in slam.frame_infos():
+            out.log_frame(info)
+        for ev in slam.loop_events:
+            q, m, n_inl = ev
+            print(f"[kitti] LOOP {q} -> {m} ({n_inl} inliers)")
+    elif args.mode == "chunked":
         if vocab is None:
             print("ERROR: --mode chunked needs --preset loop_closure + "
                   "--vocab (in-scan detection requires a vocabulary)",
@@ -78,6 +120,7 @@ def main():
             sys.exit(2)
         import numpy as np
 
+        from ros_stereo_slam_tpu.models.pipeline import FrameInfo
         from ros_stereo_slam_tpu.models.slam_chunked import ChunkedSLAM
 
         slam = ChunkedSLAM(cfg, vocab)
@@ -85,6 +128,11 @@ def main():
             l0, r0 = seq.frame(0)
             rgb0 = seq.frame_rgb(0) if seq.rgb_available else None
             slam.initialize(l0, r0, rgb0=rgb0)
+        out.log_frame(FrameInfo(
+            frame=0, T_wc=np.eye(4, dtype=np.float32), n_tracked=0,
+            n_inliers=0, is_keyframe=True, tracking_ok=True,
+            used_retry=False,
+        ))
         C = args.chunk
         for s in range(1, n, C):
             e = min(s + C, n)
@@ -94,11 +142,28 @@ def main():
                 rights = np.stack([f[1] for f in fr])
                 rg = (np.stack([seq.frame_rgb(i) for i in range(s, e)])
                       if seq.rgb_available else None)
+            import time as _time
+
+            t0 = _time.perf_counter()
             with timer.stage("chunk"):
                 info = slam.process_chunk(
                     lefts, rights, rgbs=rg,
                     query_frames=lambda fid: seq.frame(fid),
                 )
+            chunk_fps = round((e - s) / (_time.perf_counter() - t0), 2)
+            # per-frame artifact rows from the chunk stats, so chunked
+            # runs produce the same metrics.jsonl/fps curve as stream
+            # mode (ChunkInfo carries the fused step's per-frame stats;
+            # fps is the chunk-average rate)
+            for k2 in range(e - s):
+                out.log_frame(FrameInfo(
+                    frame=s + k2, T_wc=info.T_wc[k2],
+                    n_tracked=int(info.n_tracked[k2]),
+                    n_inliers=int(info.n_inliers[k2]),
+                    is_keyframe=bool(info.is_keyframe[k2]),
+                    tracking_ok=bool(info.tracking_ok[k2]),
+                    used_retry=False,
+                ), {"fps": chunk_fps})
             if (s - 1) // C % 4 == 0:
                 print(f"[kitti] {e}/{n} "
                       f"inl_med={int(np.median(info.n_inliers))} "

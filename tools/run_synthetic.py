@@ -32,11 +32,13 @@ def main():
     ap.add_argument("--platform", default=None)
     ap.add_argument("--seed", type=int, default=13)
     ap.add_argument("--mode", default="stream",
-                    choices=["stream", "chunked"],
+                    choices=["stream", "chunked", "scan"],
                     help="stream = per-frame dispatch (models/slam.py); "
                     "chunked = 16-frame micro-batch scans with per-chunk "
                     "PGO correction (models/slam_chunked.py; requires a "
-                    "loop-closure preset)")
+                    "loop-closure preset); scan = whole-sequence "
+                    "single-dispatch offline posture (the throughput "
+                    "headline), correction deferred to the epilogue")
     ap.add_argument("--chunk", type=int, default=16)
     args = ap.parse_args()
 
@@ -119,7 +121,30 @@ def main():
     timer = StageTimer()
     fps = FpsMeter()
 
-    if args.mode == "chunked":
+    if args.mode == "scan":
+        from ros_stereo_slam_tpu.utils.outputs import ScanRun
+
+        lefts = np.stack([f[0] for f in frames])
+        rights = np.stack([f[1] for f in frames])
+        rgb = (np.stack(rgbs) if rgbs[0] is not None else None)
+        with timer.stage("scan"):
+            if cfg.loop.enabled:
+                from ros_stereo_slam_tpu.models.slam_scan import (
+                    run_offline_slam,
+                )
+
+                res = run_offline_slam(cfg, vocab, lefts, rights,
+                                       rgb_seq=rgb)
+            else:
+                from ros_stereo_slam_tpu.models.pipeline import run_offline
+
+                res = run_offline(cfg, lefts, rights, rgb_seq=rgb)
+        slam = ScanRun(res, cfg)
+        for info in slam.frame_infos():
+            out.log_frame(info)
+        for q, m, n_inl in slam.loop_events:
+            print(f"[run] LOOP {q} -> {m} ({n_inl} inliers)")
+    elif args.mode == "chunked":
         if vocab is None:
             print("ERROR: --mode chunked needs a loop-closure preset "
                   "(in-scan detection requires a vocabulary)",
@@ -127,9 +152,16 @@ def main():
             sys.exit(2)
         from ros_stereo_slam_tpu.models.slam_chunked import ChunkedSLAM
 
+        from ros_stereo_slam_tpu.models.pipeline import FrameInfo
+
         slam = ChunkedSLAM(cfg, vocab)
         with timer.stage("initialize"):
             slam.initialize(frames[0][0], frames[0][1], rgb0=rgbs[0])
+        out.log_frame(FrameInfo(
+            frame=0, T_wc=np.eye(4, dtype=np.float32), n_tracked=0,
+            n_inliers=0, is_keyframe=True, tracking_ok=True,
+            used_retry=False,
+        ))
         C = args.chunk
         for s in range(1, world.n_frames, C):
             e = min(s + C, world.n_frames)
@@ -142,6 +174,15 @@ def main():
                     lefts, rights, rgbs=rg,
                     query_frames=lambda fid: frames[fid][:2],
                 )
+            for k2 in range(e - s):
+                out.log_frame(FrameInfo(
+                    frame=s + k2, T_wc=info.T_wc[k2],
+                    n_tracked=int(info.n_tracked[k2]),
+                    n_inliers=int(info.n_inliers[k2]),
+                    is_keyframe=bool(info.is_keyframe[k2]),
+                    tracking_ok=bool(info.tracking_ok[k2]),
+                    used_retry=False,
+                ))
             print(f"[run] chunk {s}..{e - 1}: "
                   f"inl_med={int(np.median(info.n_inliers))} "
                   f"kf={int(info.is_keyframe.sum())} "
