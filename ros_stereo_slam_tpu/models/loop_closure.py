@@ -331,6 +331,12 @@ class LoopDetector:
             # nss-normalized score, TemplatedLoopDetector.h:744-748;
             # alpha=0.9 in use) / islands / temporal window.
             gated = self._gater.gate(frame_id, ids, scores, ns)
+            # Driver separation rule short-circuit (mirrors
+            # EpilogueGater.process): a candidate failing it can never
+            # be accepted, so don't spend a geometric-check dispatch.
+            if (gated is not None
+                    and gated[0] >= frame_id - cfg.min_separation):
+                gated = None
             if gated is not None:
                 best_id, best_score, consistent = gated
                 slot = best_id % cfg.db_capacity

@@ -18,6 +18,7 @@ never gates the math.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -159,33 +160,50 @@ def run_offline(
     rgb_seq: optional (F, H, W, 3) float32 or uint8 color stack — colors
     the keyframe map points (RGB map path; uint8 keeps HBM down and is
     cast per frame inside the scan).
+    `block` is retained for signature compatibility; the single fused
+    device_get of the stats always blocks.
     """
+    del block
     grid_pts, grid_mask = _grid_for(cfg)
     stage_dtype = (jnp.uint8 if left_seq.dtype == np.uint8
                    else jnp.float32)
-    l0 = jnp.asarray(left_seq[0], stage_dtype)
-    r0 = jnp.asarray(right_seq[0], stage_dtype)
-    rgb0 = None if rgb_seq is None else jnp.asarray(rgb_seq[0])
-    carry = step_mod.init_carry(
-        l0, r0, grid_pts, grid_mask, jax.random.PRNGKey(cfg.seed), cfg,
-        left_rgb=rgb0,
+    seqs = (jnp.asarray(left_seq, stage_dtype),
+            jnp.asarray(right_seq, stage_dtype))
+    rgb = None if rgb_seq is None else jnp.asarray(rgb_seq)
+    # ONE dispatch for bootstrap + scan (init_carry as a separate jitted
+    # call costs a full host->device round trip — ~30 ms over the dev
+    # tunnel, per run) and ONE device_get for every stats leaf (each
+    # np.asarray is its own round trip: the six separate transfers this
+    # replaces billed ~150 ms/run to the tunnel, ~0.4 ms/frame at the
+    # 384-frame bench scale).
+    carry, stats = _run_offline_fused(
+        seqs[0], seqs[1], grid_pts, grid_mask, cfg, rgb
     )
-    ls = jnp.asarray(left_seq[1:], stage_dtype)
-    rs = jnp.asarray(right_seq[1:], stage_dtype)
-    rgbs = None if rgb_seq is None else jnp.asarray(rgb_seq[1:])
-    carry, stats = step_mod.run_sequence(ls, rs, carry, grid_pts, grid_mask,
-                                         cfg, rgb_seq=rgbs)
-    if block:
-        jax.block_until_ready(stats)
+    stats = jax.device_get(stats)
     traj = np.concatenate(
-        [np.eye(4, dtype=np.float32)[None], np.asarray(stats.T_wc)], axis=0
+        [np.eye(4, dtype=np.float32)[None], stats.T_wc], axis=0
     )
     return OfflineResult(
         trajectory=traj,
-        n_tracked=np.asarray(stats.n_tracked),
-        n_inliers=np.asarray(stats.n_inliers),
-        is_keyframe=np.asarray(stats.is_keyframe),
-        tracking_ok=np.asarray(stats.tracking_ok),
-        used_retry=np.asarray(stats.used_retry),
+        n_tracked=stats.n_tracked,
+        n_inliers=stats.n_inliers,
+        is_keyframe=stats.is_keyframe,
+        tracking_ok=stats.tracking_ok,
+        used_retry=stats.used_retry,
         keyframes=carry.keyframes,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _run_offline_fused(left_all, right_all, grid_pts, grid_mask,
+                       cfg: PipelineConfig, rgb_all=None):
+    """Frame-0 bootstrap + whole-sequence scan as ONE XLA program."""
+    carry = step_mod.init_carry(
+        left_all[0], right_all[0], grid_pts, grid_mask,
+        jax.random.PRNGKey(cfg.seed), cfg,
+        left_rgb=None if rgb_all is None else rgb_all[0],
+    )
+    return step_mod.run_sequence(
+        left_all[1:], right_all[1:], carry, grid_pts, grid_mask, cfg,
+        rgb_seq=None if rgb_all is None else rgb_all[1:],
     )

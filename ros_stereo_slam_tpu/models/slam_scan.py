@@ -185,6 +185,54 @@ _lc_scan_step_jit = partial(
 )(_lc_scan_step)
 
 
+def _lc_scan_step_lane(
+    lc_b: LCScanState,  # batched state, (B, ...) leaves
+    lane: int,  # STATIC lane index
+    left_img: jnp.ndarray,  # (H, W) this lane's frame
+    frame_id: jnp.ndarray,
+    centers: tuple,
+    idf: jnp.ndarray,
+    cfg: PipelineConfig,
+    vocab_k: int,
+) -> tuple[LCScanState, LCScanStats]:
+    """Run one LANE's detection step against the batched state.
+
+    Used by the interleaved batched cadence (run_sequence_slam_batched):
+    the lane index is STATIC, so every read is a slice of the scan carry
+    (fused, no copy) and the writeback touches only the inserted ring
+    ROW plus the small last-frame fields — XLA keeps the ~100 MB/lane
+    database updates in place, where a gather -> update -> scatter of
+    the whole lane state would copy it every frame.
+    """
+    sub = jax.tree.map(lambda x: x[lane], lc_b)
+    new, stats = _lc_scan_step(
+        sub, left_img, frame_id, centers, idf, cfg, vocab_k
+    )
+    slot = frame_id % cfg.loop.db_capacity
+    lc_b = lc_b._replace(
+        db_words=lc_b.db_words.at[lane, slot].set(new.db_words[slot]),
+        db_wvals=lc_b.db_wvals.at[lane, slot].set(new.db_wvals[slot]),
+        db_bins=lc_b.db_bins.at[lane, slot].set(new.db_bins[slot]),
+        db_bits=lc_b.db_bits.at[lane, slot].set(new.db_bits[slot]),
+        db_pts=lc_b.db_pts.at[lane, slot].set(new.db_pts[slot]),
+        db_pt_valid=lc_b.db_pt_valid.at[lane, slot].set(
+            new.db_pt_valid[slot]),
+        db_valid=lc_b.db_valid.at[lane, slot].set(True),
+        db_ids=lc_b.db_ids.at[lane, slot].set(frame_id),
+        last_words=lc_b.last_words.at[lane].set(new.last_words),
+        last_wvals=lc_b.last_wvals.at[lane].set(new.last_wvals),
+        have_last=lc_b.have_last.at[lane].set(True),
+    )
+    return lc_b, stats
+
+
+def lane_phase(lane: int, every: int) -> int:
+    """Detection phase of a lane under the interleaved batched cadence:
+    lane b detects on frames with ``fid % every == lane_phase(b, every)``
+    (single-lane and non-interleaved runs use phase 0)."""
+    return lane % max(every, 1)
+
+
 @partial(jax.jit, static_argnames=("cfg", "vocab_k"))
 def run_sequence_slam(
     left_seq: jnp.ndarray,
@@ -241,7 +289,7 @@ def run_sequence_slam(
     return lax.scan(body, (carry, lc), xs)
 
 
-@partial(jax.jit, static_argnames=("cfg", "vocab_k"))
+@partial(jax.jit, static_argnames=("cfg", "vocab_k", "interleave"))
 def run_sequence_slam_batched(
     left_seq: jnp.ndarray,  # (B, F, H, W)
     right_seq: jnp.ndarray,
@@ -255,18 +303,34 @@ def run_sequence_slam_batched(
     vocab_k: int,
     rgb_seq: jnp.ndarray | None = None,
     fid_start=1,
+    interleave: bool = False,
 ):
     """Batched full SLAM: B lanes of odometry + on-device detection in
     ONE scan (DP-over-sequences over :func:`run_sequence_slam`).
 
     The odometry step is the hoisted-cond batched step
     (:func:`step_batched.slam_frame_step_batched`); detection is the
-    straight-line :func:`_lc_scan_step` vmapped over lanes (it has no
-    data-dependent branches, so vmap adds no both-branch cost) with the
-    Pallas ORB kernel routed to its grid=(B,) variant via custom_vmap.
-    All lanes share the frame-id clock, so the ``detect_every`` cadence
-    stays ONE batch-level ``lax.cond`` on a scalar predicate.  Stats
-    leaves come back frame-major: (F, B, ...).
+    straight-line :func:`_lc_scan_step` vmapped over lanes (no
+    data-dependent branches, so vmap adds no both-branch cost) behind
+    one batch-level ``detect_every`` ``lax.cond``, with the Pallas ORB
+    kernel routed to its grid=(B,) variant via custom_vmap.
+
+    ``interleave=True`` phase-shifts each lane's detection across the
+    stride — lane b detects on ``fid % every == b % every``
+    (:func:`lane_phase`), at most ``ceil(B/every)`` lanes per frame via
+    ``lax.switch`` over static lane groups (:func:`_lc_scan_step_lane`).
+    MEASURED SLOWER and off by default: detection is LAUNCH-LATENCY
+    bound, not bandwidth bound, so the vmapped all-lanes step costs
+    barely more than one lane's — interleaving runs a one-lane
+    detection every frame instead of an all-lane detection every
+    ``every`` frames and de-amortizes exactly the overhead vmap was
+    hiding (TPU v5e, 2 lanes, 384-frame corridor:
+    234.7 fps aggregate lockstep vs 183.7 interleaved;
+    tools/profile_batched_slam.py).  Kept as the measured refutation of
+    the per-lane-database-traffic hypothesis for the batched full-SLAM
+    regression — the actual cost lives in the batched odometry step's
+    any-lane branch firings (see RESULTS.md).
+    Stats leaves come back frame-major: (F, B, ...).
     """
     from ros_stereo_slam_tpu.models import step_batched
 
@@ -282,24 +346,49 @@ def run_sequence_slam_batched(
             sc, left, right, grid_pts, grid_mask, cfg, left_rgb=rgb
         )
 
-        def detect(l):
+        def lane_frames():
             lf = left
             if lf.dtype == jnp.uint8:
                 lf = lf.astype(jnp.float32) * (1.0 / 255.0)
+            return lf
+
+        def detect(l):
             return jax.vmap(
                 lambda lc1, l1: _lc_scan_step(
                     lc1, l1, fid, centers, idf, cfg, vocab_k)
-            )(l, lf)
+            )(l, lane_frames())
 
+        null_b = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (B,) + x.shape),
+            _null_stats(cfg),
+        )
         if every == 1:
             lcs, lstats = detect(lcs)
-        else:
-            null_b = jax.tree.map(
-                lambda x: jnp.broadcast_to(x, (B,) + x.shape),
-                _null_stats(cfg),
-            )
+        elif not (interleave and B > 1):
             lcs, lstats = lax.cond(
                 fid % every == 0, detect, lambda l: (l, null_b), lcs,
+            )
+        else:
+            lf = lane_frames()
+
+            def make_branch(o):
+                group = [b for b in range(B) if lane_phase(b, every) == o]
+
+                def br(l):
+                    st = null_b
+                    for b in group:
+                        l, row = _lc_scan_step_lane(
+                            l, b, lf[b], fid, centers, idf, cfg, vocab_k
+                        )
+                        st = jax.tree.map(
+                            lambda s, r: s.at[b].set(r), st, row
+                        )
+                    return l, st
+
+                return br
+
+            lcs, lstats = lax.switch(
+                fid % every, [make_branch(o) for o in range(every)], lcs,
             )
         return (sc, lcs), (fstats, lstats)
 
@@ -336,13 +425,16 @@ class EpilogueGater:
     every posture accepts the same closure set.
     """
 
-    def __init__(self, cfg: PipelineConfig, key=None):
+    def __init__(self, cfg: PipelineConfig, key=None, phase: int = 0):
         # `key` retained for signature compatibility; geometric keys are
         # pair-derived (loop_closure.geom_key) since round 4.
+        # `phase`: detection frames are fid % detect_every == phase
+        # (non-zero for interleaved batched lanes, see lane_phase).
         del key
         self.cfg = cfg
         self.lcc = cfg.loop
         self.every = max(cfg.loop.detect_every, 1)
+        self.phase = phase % self.every
         self.gater = lc_mod.CandidateGater(cfg.loop, stride=self.every)
         self.cooldown = 0
 
@@ -363,7 +455,7 @@ class EpilogueGater:
                 skip_for_cooldown = True
             else:
                 skip_for_cooldown = False
-            if fid % self.every != 0 or fid <= lcc.dislocal:
+            if fid % self.every != self.phase or fid <= lcc.dislocal:
                 continue
             gated = self.gater.gate(
                 fid, top_ids[i], top_scores[i], float(ns_arr[i])
@@ -371,6 +463,17 @@ class EpilogueGater:
             if skip_for_cooldown or gated is None:
                 continue
             best_id, _, _ = gated
+            # Driver separation rule (optimizationStuff.cpp:59-63) BEFORE
+            # the geometric check: separation is a pure function of the
+            # pair, so a near-match candidate can never be accepted — and
+            # the geometric check is a device dispatch (~25 ms round trip
+            # over the dev tunnel) that near-matches would otherwise
+            # trigger on every detection frame of a no-revisit sequence.
+            # Accept set and cooldown behavior are unchanged (neither was
+            # armed by separation-failed candidates).  The streaming
+            # detector short-circuits identically (LoopDetector.detect).
+            if fid - best_id <= lcc.min_separation:
+                continue
             # geometric verification (same op the streaming detector
             # runs; rare, so a per-candidate device call is fine here)
             k = lc_mod.geom_key(fid, best_id)
@@ -385,9 +488,6 @@ class EpilogueGater:
             )
             n_inl = int(n_inl_d)
             if n_inl < lcc.geom_min_points:
-                continue
-            # driver accept rule (optimizationStuff.cpp:59-63)
-            if fid - best_id <= lcc.min_separation:
                 continue
             self.cooldown = lcc.cooldown
             accepted.append((fid, best_id, np.asarray(bi_d),
@@ -522,50 +622,66 @@ def run_offline_slam(
     grid_pts, grid_mask = _grid_for(cfg)
     stage_dtype = (jnp.uint8 if left_seq.dtype == np.uint8
                    else jnp.float32)
-    l0 = jnp.asarray(left_seq[0], stage_dtype)
-    r0 = jnp.asarray(right_seq[0], stage_dtype)
-    rgb0 = None if rgb_seq is None else jnp.asarray(rgb_seq[0])
-    carry = step_mod.init_carry(
-        l0, r0, grid_pts, grid_mask, jax.random.PRNGKey(cfg.seed), cfg,
-        left_rgb=rgb0,
+    ls = jnp.asarray(left_seq, stage_dtype)
+    rs = jnp.asarray(right_seq, stage_dtype)
+    rgb = None if rgb_seq is None else jnp.asarray(rgb_seq)
+    # ONE dispatch (bootstrap + frame-0 db add + whole-sequence scan
+    # fused) and ONE device_get for the epilogue's inputs — the separate
+    # init_carry/_lc_scan_step dispatches plus four per-leaf np.asarray
+    # transfers this replaces billed ~180 ms/run of pure round-trip
+    # latency to the dev tunnel (~0.5 ms/frame at bench scale).
+    (carry, lc), (fstats, lstats) = _run_offline_slam_fused(
+        ls, rs, grid_pts, grid_mask, tuple(vocab.centers),
+        jnp.asarray(vocab.idf), cfg, vocab.k, rgb,
     )
-    lc0 = init_lc_state(cfg, vocab.n_words)
-    # frame 0 enters the database too (the reference adds every frame;
-    # 0 % detect_every == 0, so frame 0 is always a detection frame)
-    lc0, _ = _lc_scan_step_jit(
-        lc0, l0, jnp.int32(0), tuple(vocab.centers),
-        jnp.asarray(vocab.idf), cfg, vocab.k,
+    fstats_h, (top_ids, top_scores, ns) = jax.device_get(
+        (fstats, (lstats.top_ids, lstats.top_scores, lstats.ns))
     )
-
-    ls = jnp.asarray(left_seq[1:], stage_dtype)
-    rs = jnp.asarray(right_seq[1:], stage_dtype)
-    rgbs = None if rgb_seq is None else jnp.asarray(rgb_seq[1:])
-    (carry, lc), (fstats, lstats) = run_sequence_slam(
-        ls, rs, carry, lc0, grid_pts, grid_mask,
-        tuple(vocab.centers), jnp.asarray(vocab.idf), cfg, vocab.k,
-        rgb_seq=rgbs,
-    )
-    jax.block_until_ready(fstats.T_wc)
 
     return _epilogue_one(
-        cfg, lc, np.asarray(lstats.top_ids), np.asarray(lstats.top_scores),
-        np.asarray(lstats.ns), fstats, carry.keyframes,
+        cfg, lc, top_ids, top_scores, ns, fstats_h, carry.keyframes,
         lambda fid: (left_seq[fid], right_seq[fid]),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "vocab_k"))
+def _run_offline_slam_fused(
+    left_all, right_all, grid_pts, grid_mask, centers, idf,
+    cfg: PipelineConfig, vocab_k: int, rgb_all=None,
+):
+    """Bootstrap (init_carry + frame-0 database add) + the full
+    odometry+detection scan as ONE XLA program (one dispatch)."""
+    carry = step_mod.init_carry(
+        left_all[0], right_all[0], grid_pts, grid_mask,
+        jax.random.PRNGKey(cfg.seed), cfg,
+        left_rgb=None if rgb_all is None else rgb_all[0],
+    )
+    lc0 = init_lc_state(cfg, idf.shape[0])
+    # frame 0 enters the database too (the reference adds every frame;
+    # 0 % detect_every == 0, so frame 0 is always a detection frame)
+    lc0, _ = _lc_scan_step(
+        lc0, left_all[0], jnp.int32(0), centers, idf, cfg, vocab_k
+    )
+    return run_sequence_slam(
+        left_all[1:], right_all[1:], carry, lc0, grid_pts, grid_mask,
+        centers, idf, cfg, vocab_k,
+        rgb_seq=None if rgb_all is None else rgb_all[1:],
     )
 
 
 def _epilogue_one(
     cfg: PipelineConfig, lc, top_ids, top_scores, ns, fstats, keyframes,
-    frame_of,
+    frame_of, phase: int = 0,
 ) -> ScanSlamResult:
     """Host epilogue for ONE lane: gates -> geometric check -> accept ->
     PnP loop edges -> deferred PGO -> map rewrite.  Shared by
-    :func:`run_offline_slam` and :func:`run_offline_slam_batched`."""
+    :func:`run_offline_slam` and :func:`run_offline_slam_batched`
+    (`phase`: the lane's interleaved detection phase)."""
     traj_odo = np.concatenate(
         [np.eye(4, dtype=np.float32)[None], np.asarray(fstats.T_wc)], axis=0
     )
 
-    gate = EpilogueGater(cfg)
+    gate = EpilogueGater(cfg, phase=phase)
     accepted = gate.process(lc, top_ids, top_scores, ns, fid_start=1)
     loop_events, loop_edges = measure_loop_edges(accepted, lc, frame_of, cfg)
 
@@ -613,13 +729,6 @@ def _epilogue_one(
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "vocab_k"))
-def _lc_scan_step_batched(lc, left, frame_id, centers, idf, cfg, vocab_k):
-    """Vmapped detection step (shared scalar frame id across lanes)."""
-    return jax.vmap(
-        lambda lc1, l1: _lc_scan_step(
-            lc1, l1, frame_id, centers, idf, cfg, vocab_k)
-    )(lc, left)
 
 
 def run_offline_slam_batched(
@@ -628,6 +737,7 @@ def run_offline_slam_batched(
     left_seqs,  # (B, F, H, W) uint8 or f32
     right_seqs,
     rgb_seqs=None,
+    interleave: bool = False,
 ) -> list[ScanSlamResult]:
     """Batched full SLAM over B sequences: ONE scan dispatch for every
     lane's odometry + detection, then the per-lane host epilogue.
@@ -635,7 +745,10 @@ def run_offline_slam_batched(
     The fleet-mapping analog of :func:`run_offline_slam` — returns one
     :class:`ScanSlamResult` per lane.  The detection database is
     per-lane state (B × ~100 MB at reference scale), so lane count is
-    HBM-bounded in this mode.
+    HBM-bounded in this mode.  ``interleave`` phase-shifts each lane's
+    detection across the ``detect_every`` stride — measured SLOWER than
+    the default lockstep cadence (see
+    :func:`run_sequence_slam_batched`), kept for the ablation.
     """
     from ros_stereo_slam_tpu.models.pipeline import _grid_for
 
@@ -643,10 +756,46 @@ def run_offline_slam_batched(
     B = left_seqs.shape[0]
     stage_dtype = (jnp.uint8 if left_seqs.dtype == np.uint8
                    else jnp.float32)
-    l0 = jnp.asarray(left_seqs[:, 0], stage_dtype)
-    r0 = jnp.asarray(right_seqs[:, 0], stage_dtype)
+    ls = jnp.asarray(left_seqs, stage_dtype)
+    rs = jnp.asarray(right_seqs, stage_dtype)
+    rgb = None if rgb_seqs is None else jnp.asarray(rgb_seqs)
+    # one dispatch + one device_get, as in run_offline_slam
+    (carry, lc), (fstats, lstats) = _run_offline_slam_batched_fused(
+        ls, rs, grid_pts, grid_mask, tuple(vocab.centers),
+        jnp.asarray(vocab.idf), cfg, vocab.k, rgb, interleave,
+    )
+    fstats_h, lstats_h = jax.device_get((fstats, lstats))
+
+    every = max(cfg.loop.detect_every, 1)
+    out = []
+    for b in range(B):
+        out.append(_epilogue_one(
+            cfg,
+            jax.tree.map(lambda x: x[b], lc),
+            lstats_h.top_ids[:, b],
+            lstats_h.top_scores[:, b],
+            lstats_h.ns[:, b],
+            jax.tree.map(lambda x: x[:, b], fstats_h),
+            jax.tree.map(lambda x: x[b], carry.keyframes),
+            lambda fid, b=b: (left_seqs[b, fid], right_seqs[b, fid]),
+            phase=(lane_phase(b, every)
+                   if (interleave and B > 1 and every > 1) else 0),
+        ))
+    return out
+
+
+@partial(jax.jit, static_argnames=("cfg", "vocab_k", "interleave"))
+def _run_offline_slam_batched_fused(
+    left_all, right_all, grid_pts, grid_mask, centers, idf,
+    cfg: PipelineConfig, vocab_k: int, rgb_all=None,
+    interleave: bool = False,
+):
+    """Batched bootstrap + batched odometry/detection scan, ONE program."""
+    B = left_all.shape[0]
+    l0 = left_all[:, 0]
+    r0 = right_all[:, 0]
     keys = jax.random.split(jax.random.PRNGKey(cfg.seed), B)
-    if rgb_seqs is None:
+    if rgb_all is None:
         carry = jax.vmap(
             lambda l, r, k: step_mod.init_carry(
                 l, r, grid_pts, grid_mask, k, cfg)
@@ -655,37 +804,18 @@ def run_offline_slam_batched(
         carry = jax.vmap(
             lambda l, r, k, g: step_mod.init_carry(
                 l, r, grid_pts, grid_mask, k, cfg, left_rgb=g)
-        )(l0, r0, keys, jnp.asarray(rgb_seqs[:, 0]))
-
+        )(l0, r0, keys, rgb_all[:, 0])
     lc0 = jax.tree.map(
-        lambda x: jnp.tile(x[None], (B,) + (1,) * x.ndim),
-        init_lc_state(cfg, vocab.n_words),
+        lambda x: jnp.broadcast_to(x[None], (B,) + x.shape),
+        init_lc_state(cfg, idf.shape[0]),
     )
-    lc0, _ = _lc_scan_step_batched(
-        lc0, l0, jnp.int32(0), tuple(vocab.centers),
-        jnp.asarray(vocab.idf), cfg, vocab.k,
+    lc0, _ = jax.vmap(
+        lambda lc1, l1: _lc_scan_step(
+            lc1, l1, jnp.int32(0), centers, idf, cfg, vocab_k)
+    )(lc0, l0)
+    return run_sequence_slam_batched(
+        left_all[:, 1:], right_all[:, 1:], carry, lc0, grid_pts,
+        grid_mask, centers, idf, cfg, vocab_k,
+        rgb_seq=None if rgb_all is None else rgb_all[:, 1:],
+        interleave=interleave,
     )
-
-    ls = jnp.asarray(left_seqs[:, 1:], stage_dtype)
-    rs = jnp.asarray(right_seqs[:, 1:], stage_dtype)
-    rgbs = None if rgb_seqs is None else jnp.asarray(rgb_seqs[:, 1:])
-    (carry, lc), (fstats, lstats) = run_sequence_slam_batched(
-        ls, rs, carry, lc0, grid_pts, grid_mask,
-        tuple(vocab.centers), jnp.asarray(vocab.idf), cfg, vocab.k,
-        rgb_seq=rgbs,
-    )
-    jax.block_until_ready(fstats.T_wc)
-
-    out = []
-    for b in range(B):
-        out.append(_epilogue_one(
-            cfg,
-            jax.tree.map(lambda x: x[b], lc),
-            np.asarray(lstats.top_ids[:, b]),
-            np.asarray(lstats.top_scores[:, b]),
-            np.asarray(lstats.ns[:, b]),
-            jax.tree.map(lambda x: x[:, b], fstats),
-            jax.tree.map(lambda x: x[b], carry.keyframes),
-            lambda fid, b=b: (left_seqs[b, fid], right_seqs[b, fid]),
-        ))
-    return out
