@@ -254,6 +254,9 @@ def run_sequence_slam(
     online driver reuses one compilation for every chunk position;
     defaults to 1 — frame 0 is the bootstrap).
     """
+    # Deep-table pad for the Pallas descent, hoisted OUT of the scan
+    # body (inside it the pad would copy 136 MB per frame).
+    centers = vocab_mod.prepare_centers_for_scan(centers, vocab_k)
     every = max(cfg.loop.detect_every, 1)
 
     def body(c, xs):
@@ -334,6 +337,7 @@ def run_sequence_slam_batched(
     """
     from ros_stereo_slam_tpu.models import step_batched
 
+    centers = vocab_mod.prepare_centers_for_scan(centers, vocab_k)
     every = max(cfg.loop.detect_every, 1)
     B = left_seq.shape[0]
 
@@ -651,6 +655,8 @@ def _run_offline_slam_fused(
 ):
     """Bootstrap (init_carry + frame-0 database add) + the full
     odometry+detection scan as ONE XLA program (one dispatch)."""
+    # pad deep vocab tables ONCE for bootstrap + scan alike
+    centers = vocab_mod.prepare_centers_for_scan(centers, vocab_k)
     carry = step_mod.init_carry(
         left_all[0], right_all[0], grid_pts, grid_mask,
         jax.random.PRNGKey(cfg.seed), cfg,
@@ -791,6 +797,7 @@ def _run_offline_slam_batched_fused(
     interleave: bool = False,
 ):
     """Batched bootstrap + batched odometry/detection scan, ONE program."""
+    centers = vocab_mod.prepare_centers_for_scan(centers, vocab_k)
     B = left_all.shape[0]
     l0 = left_all[:, 0]
     r0 = right_all[:, 0]

@@ -262,50 +262,107 @@ def train_batched(
 # -- transform ---------------------------------------------------------------
 
 
-# Levels whose full table fits under this row count score ALL nodes with
-# one dense MXU matmul instead of per-descriptor child-block gathers.
-# Measured on TPU v5e (tools/profile_lc_micro.py, 512 descriptors, k=9
-# L=6): pure gathers 0.81 ms, matmul levels 0-3 0.95 ms, matmul level 4
-# (121 MB (N, G) f32 dots intermediate) 1.24 ms — the contiguous
-# (k, 256) sibling-block gathers already beat dense scoring at every
-# level, so the matmul path stays available for study but OFF by
-# default.  (Kept because the tradeoff flips for larger N: the matmul
-# amortizes the table read over descriptors.)
-_DESCEND_MATMUL_MAX_NODES = 0
+# Levels whose full table fits under this row count are scored with one
+# dense MXU matmul against the WHOLE level and resolved with a MASKED
+# argmax (each descriptor's row masked to its node's contiguous k-child
+# column block) — zero data-dependent gathers.  An earlier dense variant
+# lost to the gathers (0.95 vs 0.81 ms) because it still ran a
+# take_along_axis gather to extract the child block; masking + argmax
+# over the full row removes that.  Measured on TPU v5e
+# (tools/profile_lc_micro.py, 512 descriptors, k=9 L=6): descent
+# 0.776 ms all-gathers -> 0.37 ms with levels 0-3 masked-argmax (the
+# remaining cost is the two deep levels' (k, 256) sibling-block gathers
+# against the 15/136 MB HBM tables, which a dense matmul cannot touch —
+# level 4 dense measured 1.24 ms from its 121 MB dots intermediate).
+_DESCEND_MASKED_ARGMAX_MAX_NODES = 8192
 
 
 def _descend(centers: list, desc_sign: jnp.ndarray, k: int, upto: int) -> jnp.ndarray:
     """Shared argmax-descent: returns node ids at level `upto`.
 
-    Small levels (table <= _DESCEND_MATMUL_MAX_NODES rows): one dense
-    (N, G) matmul against the whole level, then each descriptor selects
-    its node's k-child column block — no data-dependent gathers.  Deep
-    levels: gather ONE contiguous (k, 256) child block per descriptor
-    (a sibling group is k*256 adjacent bytes).  Both paths run bf16 on
-    the MXU: sign vectors are {-1,+1}, every partial sum is an integer
-    |.| <= 256 exactly representable in bf16/f32, so the argmax (and the
-    two paths) are bit-identical.
+    Small levels (table <= _DESCEND_MASKED_ARGMAX_MAX_NODES rows): dense
+    (N, G) bf16 matmul + masked argmax over the full level (gather-free;
+    the argmax directly yields the GLOBAL child index).  Deep levels:
+    gather ONE contiguous (k, 256) child block per descriptor (a sibling
+    group is k*256 adjacent bytes).  Both paths run bf16 on the MXU:
+    sign vectors are {-1,+1}, every partial sum is an integer |.| <= 256
+    exactly representable in bf16/f32, and ties resolve to the first
+    (lowest-index) entry in both forms, so the paths are bit-identical.
     """
     n = desc_sign.shape[0]
     node = jnp.zeros((n,), jnp.int32)
     q = desc_sign.astype(jnp.bfloat16)
     for l in range(upto):
         G = centers[l].shape[0]
-        if G <= _DESCEND_MATMUL_MAX_NODES:
+        if G <= _DESCEND_MASKED_ARGMAX_MAX_NODES:
             dots_all = jnp.einsum(
                 "nd,gd->ng", q, centers[l].astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
             )  # (N, G)
-            cols = node[:, None] * k + jnp.arange(k, dtype=jnp.int32)[None, :]
-            dots = jnp.take_along_axis(dots_all, cols, axis=1)  # (N, k)
+            owner = jnp.arange(G, dtype=jnp.int32) // k  # parent of col g
+            masked = jnp.where(
+                owner[None, :] == node[:, None], dots_all, -jnp.inf
+            )
+            node = jnp.argmax(masked, axis=1).astype(jnp.int32)
+        elif _descend_use_pallas():
+            # All remaining levels are deep: one Pallas kernel with a
+            # double-buffered HBM DMA pipeline replaces XLA's serialized
+            # random-access gathers (bit-identical; ops/vocab_pallas.py).
+            # Tables carrying prepare_centers_for_scan's tail pad (rows
+            # above k^(l+1)) are passed through as-is; raw tables are
+            # padded inside deep_descend (fine standalone — but prepare
+            # BEFORE any lax.scan, or the pad copies 136 MB per step).
+            from ros_stereo_slam_tpu.ops import vocab_pallas
+
+            deep = tuple(
+                jnp.asarray(centers[m], jnp.int8) for m in range(l, upto)
+            )
+            already = all(
+                centers[m].shape[0] > k ** (m + 1) for m in range(l, upto)
+            )
+            return vocab_pallas.deep_descend(
+                desc_sign, node, deep, k, padded=already
+            )
         else:
             tbl = centers[l].reshape(-1, k, N_BITS)  # (k^l, k, 256) int8
             cand = tbl[node].astype(jnp.bfloat16)  # (N, k, 256)
             dots = jnp.einsum("nd,nkd->nk", q, cand,
                               preferred_element_type=jnp.float32)
-        best = jnp.argmax(dots, axis=1).astype(jnp.int32)
-        node = node * k + best
+            best = jnp.argmax(dots, axis=1).astype(jnp.int32)
+            node = node * k + best
     return node
+
+
+def _descend_use_pallas() -> bool:
+    """Deep levels route to the Pallas DMA kernel on TPU backends only
+    (the gather path remains the CPU/test oracle)."""
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def prepare_centers_for_scan(centers: tuple, k: int) -> tuple:
+    """Tail-pad deep-level tables for the Pallas descent's 8-aligned DMA
+    windows.  MUST run outside any ``lax.scan`` that calls
+    :func:`transform_words`/:func:`_descend` — the pad copies the
+    136 MB deep table, once per dispatch here vs once per FRAME if left
+    inside the scan body (measured: the in-step pad cost more than the
+    gathers it replaced).  Idempotent; a no-op off-TPU.
+    """
+    if not _descend_use_pallas():
+        return tuple(centers)
+    from ros_stereo_slam_tpu.ops import vocab_pallas
+
+    out = []
+    for l, c in enumerate(centers):
+        expected = k ** (l + 1)
+        if (c.shape[0] == expected
+                and expected > _DESCEND_MASKED_ARGMAX_MAX_NODES):
+            out.append(vocab_pallas.pad_table(jnp.asarray(c, jnp.int8), k))
+        else:
+            out.append(c)
+    return tuple(out)
 
 
 def transform_words(voc: Vocabulary, desc_sign: jnp.ndarray) -> jnp.ndarray:
