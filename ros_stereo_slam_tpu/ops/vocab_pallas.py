@@ -34,11 +34,12 @@ order alone) — with it the kernel is bit-identical to the gather path
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.custom_batching import custom_vmap
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -131,7 +132,58 @@ def _deep_descend_kernel(
         lax.fori_loop(0, n_pts, body, 0)
 
 
-@partial(jax.jit, static_argnames=("k", "padded", "interpret"))
+def _deep_descend_call(q, node, tabs, k: int, interpret: bool):
+    n = q.shape[0]
+    return pl.pallas_call(
+        partial(_deep_descend_kernel, k=k, n_pts=n, n_levels=len(tabs)),
+        out_shape=jax.ShapeDtypeStruct((n,), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in tabs],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        scratch_shapes=[
+            pltpu.VMEM((_NBUF, _BLK, N_BITS), jnp.int8),
+            pltpu.SemaphoreType.DMA((_NBUF,)),
+        ],
+        interpret=interpret,
+    )(node, q, *tabs)
+
+
+@lru_cache(maxsize=None)
+def _cv_deep(k: int, interpret: bool):
+    """custom_vmap wrapper: lanes FLATTEN into one kernel call.
+
+    vmapping a pallas_call auto-prepends a grid dimension with blocked
+    SMEM specs that Mosaic rejects for (B, N) scalar arrays — and would
+    serialize lanes anyway.  Every descriptor carries its own node id
+    and all lanes share the vocabulary, so a B-lane batch is just a
+    (B*N)-descriptor problem: one kernel, one DMA pipeline across all
+    lanes (the batched full-SLAM scan's detection step lands here).
+    """
+
+    @custom_vmap
+    def f(q, node, *tabs):
+        return _deep_descend_call(q, node, tabs, k, interpret)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, q, node, *tabs):
+        if any(in_batched[2:]):
+            raise NotImplementedError(
+                "per-lane vocabularies are not supported (share one "
+                "vocabulary across lanes)"
+            )
+        q2 = q if in_batched[0] else jnp.broadcast_to(
+            q[None], (axis_size,) + q.shape)
+        n2 = node if in_batched[1] else jnp.broadcast_to(
+            node[None], (axis_size,) + node.shape)
+        B, N = n2.shape
+        out = f(q2.reshape(B * N, -1), n2.reshape(B * N), *tabs)
+        return out.reshape(B, N), True
+
+    return f
+
+
 def deep_descend(
     q_sign: jnp.ndarray,  # (N, 256) f32/bf16 sign vectors
     node: jnp.ndarray,  # (N,) i32 entry node ids
@@ -147,23 +199,10 @@ def deep_descend(
     the scan); otherwise they are padded here — fine standalone, but a
     per-step 136 MB copy if this call sits inside a ``lax.scan``.
     """
-    n = q_sign.shape[0]
     assert k <= 9, "window math assumes k sibling rows fit behind an " \
         "8-aligned 16-row window (k <= 9)"
     tabs = tuple(tables) if padded else tuple(
         pad_table(jnp.asarray(t, jnp.int8), k) for t in tables
     )
-    return pl.pallas_call(
-        partial(_deep_descend_kernel, k=k, n_pts=n, n_levels=len(tabs)),
-        out_shape=jax.ShapeDtypeStruct((n,), jnp.int32),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ] + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in tabs],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        scratch_shapes=[
-            pltpu.VMEM((_NBUF, _BLK, N_BITS), jnp.int8),
-            pltpu.SemaphoreType.DMA((_NBUF,)),
-        ],
-        interpret=interpret,
-    )(node.astype(jnp.int32), q_sign.astype(jnp.float32), *tabs)
+    f = _cv_deep(k, interpret)
+    return f(q_sign.astype(jnp.float32), node.astype(jnp.int32), *tabs)
