@@ -165,6 +165,37 @@ def _geom_match(
     return res.n_inliers, best, meas
 
 
+@partial(jax.jit, static_argnames=("iters",))
+def _geom_match_many(
+    db_bits: jnp.ndarray, db_pts: jnp.ndarray, db_pt_valid: jnp.ndarray,
+    q_fids: jnp.ndarray, m_fids: jnp.ndarray,
+    thresh_px: jnp.ndarray, ratio: jnp.ndarray, iters: int = 256,
+):
+    """Batched :func:`_geom_match` over N (query, match) candidate pairs.
+
+    The scan-mode epilogue used to issue one ``_geom_match`` dispatch per
+    gate-surviving candidate (~25 ms host round trip each over the dev
+    tunnel); every input is fixed-shape, so all candidates verify in ONE
+    vmapped dispatch.  Keys are the same pair-derived :func:`geom_key`
+    (fold_in accepts traced ints), and ring slots are computed inside, so
+    the verdict for each pair is identical to the per-candidate path by
+    construction (tests/test_loop_closure.py).
+    """
+    cap = db_bits.shape[0]
+
+    def one(qf, mf):
+        qs = qf % cap
+        ms = mf % cap
+        k = geom_key(qf, mf)
+        return _geom_match(
+            db_bits[qs], db_pts[qs], db_pt_valid[qs],
+            db_bits[ms], db_pts[ms], db_pt_valid[ms],
+            k, thresh_px, ratio, iters=iters,
+        )
+
+    return jax.vmap(one)(q_fids, m_fids)
+
+
 def group_islands(ids: np.ndarray, scores: np.ndarray):
     """Group candidate entries into islands of near-consecutive ids.
 

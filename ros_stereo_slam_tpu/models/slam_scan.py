@@ -102,6 +102,16 @@ def init_lc_state(cfg: PipelineConfig, n_words: int) -> LCScanState:
     )
 
 
+def _bucket(n: int) -> int:
+    """Pad batched-epilogue dispatch counts to powers of two so the
+    number of surviving candidates doesn't trigger a recompile per run
+    (one compilation per bucket size, paid once per process)."""
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
 def _top_k_count(lcc) -> int:
     """Top-K emitted per frame: can't exceed the shortlist or the db."""
     return min(lcc.max_db_results, lcc.shortlist, lcc.db_capacity)
@@ -448,54 +458,78 @@ class EpilogueGater:
 
         `fid_start` is the global frame id of row 0.  Returns accepted
         closures as (fid, match_id, best_idx, inlier_mask, n_inliers).
+
+        Three passes — the gate chain is sequential only through the
+        cooldown, so device work is DEFERRED and batched:
+
+        1. host gate chain (nss/alpha/island/temporal + the driver
+           separation rule, ``optimizationStuff.cpp:59-63``) over every
+           detection frame IN ORDER — geometry-independent, so it runs
+           with no device round trips;
+        2. ONE vmapped geometric-verification dispatch over all
+           surviving candidates (:func:`loop_closure._geom_match_many`)
+           — was one ~25 ms dispatch PER candidate over the dev tunnel;
+        3. cooldown replay over the per-candidate verdicts.  Identical
+           accept set to the sequential original: a candidate inside a
+           cooldown window was never verified there, and here its
+           (batched) verdict is simply ignored; a gate survivor that
+           FAILS geometry arms no cooldown in either formulation.
         """
         lcc = self.lcc
-        cap = lcc.db_capacity
-        accepted = []
-        for i in range(top_ids.shape[0]):
+        n = top_ids.shape[0]
+        # Pass 1: host gates (gater state must see every detection frame
+        # in order, including frames inside a cooldown window).
+        cands = []
+        for i in range(n):
             fid = fid_start + i
-            if self.cooldown > 0:
-                self.cooldown -= 1
-                skip_for_cooldown = True
-            else:
-                skip_for_cooldown = False
             if fid % self.every != self.phase or fid <= lcc.dislocal:
                 continue
             gated = self.gater.gate(
                 fid, top_ids[i], top_scores[i], float(ns_arr[i])
             )
-            if skip_for_cooldown or gated is None:
+            if gated is None:
                 continue
             best_id, _, _ = gated
-            # Driver separation rule (optimizationStuff.cpp:59-63) BEFORE
-            # the geometric check: separation is a pure function of the
-            # pair, so a near-match candidate can never be accepted — and
-            # the geometric check is a device dispatch (~25 ms round trip
-            # over the dev tunnel) that near-matches would otherwise
-            # trigger on every detection frame of a no-revisit sequence.
-            # Accept set and cooldown behavior are unchanged (neither was
-            # armed by separation-failed candidates).  The streaming
-            # detector short-circuits identically (LoopDetector.detect).
+            # Separation is a pure function of the pair, so near-matches
+            # can never be accepted — drop them before spending any
+            # geometry on them (the streaming detector short-circuits
+            # identically, LoopDetector.detect).
             if fid - best_id <= lcc.min_separation:
                 continue
-            # geometric verification (same op the streaming detector
-            # runs; rare, so a per-candidate device call is fine here)
-            k = lc_mod.geom_key(fid, best_id)
-            n_inl_d, bi_d, im_d = lc_mod._geom_match(
-                lc.db_bits[fid % cap], lc.db_pts[fid % cap],
-                lc.db_pt_valid[fid % cap],
-                lc.db_bits[best_id % cap], lc.db_pts[best_id % cap],
-                lc.db_pt_valid[best_id % cap],
-                k, jnp.float32(lcc.geom_thresh_px),
+            cands.append((fid, best_id))
+
+        # Frames <= suppress_until sit inside an armed cooldown window.
+        suppress_until = fid_start + self.cooldown - 1
+        accepted = []
+        if cands:
+            # Pass 2: one batched dispatch, padded to a small bucket so
+            # candidate-count changes don't recompile.
+            P = _bucket(len(cands))
+            q_fids = np.array(
+                [q for q, _ in cands] + [cands[0][0]] * (P - len(cands)),
+                np.int32)
+            m_fids = np.array(
+                [m for _, m in cands] + [cands[0][1]] * (P - len(cands)),
+                np.int32)
+            n_inl_b, bi_b, im_b = jax.device_get(lc_mod._geom_match_many(
+                lc.db_bits, lc.db_pts, lc.db_pt_valid,
+                jnp.asarray(q_fids), jnp.asarray(m_fids),
+                jnp.float32(lcc.geom_thresh_px),
                 jnp.float32(lcc.neigh_ratio),
                 iters=lcc.geom_ransac_iters,
-            )
-            n_inl = int(n_inl_d)
-            if n_inl < lcc.geom_min_points:
-                continue
-            self.cooldown = lcc.cooldown
-            accepted.append((fid, best_id, np.asarray(bi_d),
-                             np.asarray(im_d), n_inl))
+            ))
+            # Pass 3: cooldown replay (host, no device work).
+            for ci, (fid, best_id) in enumerate(cands):
+                if fid <= suppress_until:
+                    continue
+                if int(n_inl_b[ci]) < lcc.geom_min_points:
+                    continue
+                suppress_until = fid + lcc.cooldown
+                accepted.append((fid, best_id, bi_b[ci], im_b[ci],
+                                 int(n_inl_b[ci])))
+        # Cooldown remaining after this block's last frame (the chunked
+        # driver carries it into the next block).
+        self.cooldown = max(0, suppress_until - (fid_start + n - 1))
         return accepted
 
 
@@ -555,6 +589,54 @@ class ScanSlamResult:
     loop_edges: list = None
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _edges_pnp_batch(
+    lq: jnp.ndarray,  # (P, H, W) f32 [0, 1] query-frame left images
+    rq: jnp.ndarray,  # (P, H, W)
+    db_pts: jnp.ndarray,  # (cap, nf, 2)
+    db_pt_valid: jnp.ndarray,  # (cap, nf)
+    best_idx: jnp.ndarray,  # (P, nf) i32 query->match correspondences
+    inl_mask: jnp.ndarray,  # (P, nf) bool
+    q_fids: jnp.ndarray,  # (P,) i32
+    m_fids: jnp.ndarray,  # (P,) i32
+    cfg: PipelineConfig,
+):
+    """All accepted closures' PnP edge measurements in ONE dispatch.
+
+    Per closure (vmapped): build the query pair's pyramids, LK-track
+    left->right, stereo-triangulate, then PnP the matched frame's 2D
+    observations against the query's 3D points.  Keys are the
+    pair-derived :func:`loop_closure.edge_key` (driver-invariant).
+    """
+    from ros_stereo_slam_tpu.models import frontend as fe_mod
+
+    cam = step_mod._cam_of(cfg)
+    cap = cfg.loop.db_capacity
+
+    def one(l1, r1, bi, im, qf, mf):
+        lp = tuple(pyramid.build_pyramid(l1, cfg.frontend.lk_levels))
+        rp = tuple(pyramid.build_pyramid(r1, cfg.frontend.lk_levels))
+        pts_q = db_pts[qf % cap]
+        st = lk.track(lp, rp, pts_q, None, fe_mod._lk_params(cfg.frontend))
+        tri = triangulate.triangulate_rectified(
+            cam, jnp.float32(cfg.camera.baseline), pts_q, st.points,
+            db_pt_valid[qf % cap] & st.valid,
+            max_depth=cfg.keyframes.max_depth,
+        )
+        uv_m = db_pts[mf % cap][bi]
+        mask = im & tri.valid
+        k = lc_mod.edge_key(qf, mf)
+        res = pnp.pnp_ransac(
+            k, cam, tri.points, uv_m, mask,
+            thresh_px=cfg.loop.geom_thresh_px, iters=128,
+            refine_iters=cfg.pnp.refine_iters,
+            T_init=jnp.eye(4, dtype=jnp.float32),
+        )
+        return res.n_inliers, lie.inv_se3(res.T_cw)
+
+    return jax.vmap(one)(lq, rq, best_idx, inl_mask, q_fids, m_fids)
+
+
 def _measure_edges_pnp(
     lc_arrays, cands, geom, frame_of, cfg: PipelineConfig
 ):
@@ -567,44 +649,47 @@ def _measure_edges_pnp(
     in the query frame.  Falls back to identity (reference semantics,
     ``poseGraph.h:118``) when PnP starves.
 
+    All closures measure in ONE batched dispatch
+    (:func:`_edges_pnp_batch`, bucket-padded) — the per-closure loop
+    this replaces rebuilt two pyramids, LK-tracked, triangulated and
+    PnP-solved per pair as serial host-latency-bound device calls.
+
     `frame_of`: callable ``fid -> (left, right)`` host/device frames
     (uint8 or [0, 1] f32).
     """
     db_pts, db_pt_valid = lc_arrays
-    cam = step_mod._cam_of(cfg)
-    cap = cfg.loop.db_capacity
-    n_inl, best_idx, inl_mask = geom
-    out = []
-    from ros_stereo_slam_tpu.models import frontend as fe_mod
-
-    for ci, (q, m) in enumerate(cands):
+    _, best_idx, inl_mask = geom
+    N = len(cands)
+    if N == 0:
+        return []
+    lqs, rqs = [], []
+    for (q, _) in cands:
         lq_raw, rq_raw = frame_of(q)
-        scale = 1.0 / 255.0 if np.asarray(lq_raw).dtype == np.uint8 else 1.0
-        lq = jnp.asarray(lq_raw, jnp.float32) * scale
-        rq = jnp.asarray(rq_raw, jnp.float32) * scale
-        lp = tuple(pyramid.build_pyramid(lq, cfg.frontend.lk_levels))
-        rp = tuple(pyramid.build_pyramid(rq, cfg.frontend.lk_levels))
-        qs = q % cap
-        pts_q = db_pts[qs]
-        st = lk.track(lp, rp, pts_q, None, fe_mod._lk_params(cfg.frontend))
-        tri = triangulate.triangulate_rectified(
-            cam, jnp.float32(cfg.camera.baseline), pts_q, st.points,
-            db_pt_valid[qs] & st.valid, max_depth=cfg.keyframes.max_depth,
-        )
-        uv_m = db_pts[m % cap][best_idx[ci]]
-        mask = inl_mask[ci] & tri.valid
-        k = lc_mod.edge_key(q, m)
-        res = pnp.pnp_ransac(
-            k, cam, tri.points, uv_m, mask,
-            thresh_px=cfg.loop.geom_thresh_px, iters=128,
-            refine_iters=cfg.pnp.refine_iters,
-            T_init=jnp.eye(4, dtype=jnp.float32),
-        )
-        if int(res.n_inliers) >= cfg.loop.geom_min_points:
-            out.append(np.asarray(lie.inv_se3(res.T_cw)))
-        else:
-            out.append(None)
-    return out
+        lq_raw = np.asarray(lq_raw)
+        rq_raw = np.asarray(rq_raw)
+        scale = 1.0 / 255.0 if lq_raw.dtype == np.uint8 else 1.0
+        lqs.append(lq_raw.astype(np.float32) * scale)
+        rqs.append(rq_raw.astype(np.float32) * scale)
+    P = _bucket(N)
+
+    def padded(rows):
+        return np.stack(list(rows) + [rows[0]] * (P - N))
+
+    q_fids = np.array([q for q, _ in cands] + [cands[0][0]] * (P - N),
+                      np.int32)
+    m_fids = np.array([m for _, m in cands] + [cands[0][1]] * (P - N),
+                      np.int32)
+    n_ok, Ts = jax.device_get(_edges_pnp_batch(
+        jnp.asarray(padded(lqs)), jnp.asarray(padded(rqs)),
+        db_pts, db_pt_valid,
+        jnp.asarray(padded([best_idx[i] for i in range(N)])),
+        jnp.asarray(padded([inl_mask[i] for i in range(N)])),
+        jnp.asarray(q_fids), jnp.asarray(m_fids), cfg,
+    ))
+    return [
+        Ts[ci] if int(n_ok[ci]) >= cfg.loop.geom_min_points else None
+        for ci in range(N)
+    ]
 
 
 def run_offline_slam(

@@ -140,7 +140,7 @@ def _deep_descend_call(q, node, tabs, k: int, interpret: bool):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-        ] + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in tabs],
+        ] + [pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY) for _ in tabs],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         scratch_shapes=[
             pltpu.VMEM((_NBUF, _BLK, N_BITS), jnp.int8),

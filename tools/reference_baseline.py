@@ -77,38 +77,15 @@ def stereo_triangulate(imL, imR, K, baseline, step=30):
     return X, p0
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=192)
-    ap.add_argument("--full", action="store_true",
-                    help="add the reference's per-frame loop-detection "
-                    "front half: ORB detectAndCompute on every frame "
-                    "(src/optimizationStuff.cpp:50-55). The DBoW2 "
-                    "transform+query+geometric check cannot be "
-                    "re-executed (DBoW2 absent), so this remains a "
-                    "CONSERVATIVE bar for the reference's full loop.")
-    args = ap.parse_args()
+def run_pipeline(frames, K, b, full=False):
+    """The timed reference frame loop over pre-rendered uint8 frames.
 
-    from ros_stereo_slam_tpu.config import CameraConfig
-    from ros_stereo_slam_tpu.data.synthetic import SyntheticWorld
-    from ros_stereo_slam_tpu.utils import metrics
-
-    cam = CameraConfig()
-    n_total = args.frames + 1
-    world = SyntheticWorld(camera=cam, n_frames=n_total, seed=11, half_w=18.0)
-    print(f"[ref] rendering {n_total} frames...", file=sys.stderr)
-    frames = []
-    for i in range(n_total):
-        l, r, _ = world.render(i)
-        frames.append((
-            (np.clip(l, 0, 1) * 255).astype(np.uint8),
-            (np.clip(r, 0, 1) * 255).astype(np.uint8),
-        ))
-
-    K = np.array([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]])
-    b = cam.baseline
-
-    orb_det = cv2.ORB_create(nfeatures=500) if args.full else None
+    `frames`: list of (left_u8, right_u8).  Returns (dt_seconds,
+    (F, 4, 4) trajectory).  Callable from bench.py so the revisit row
+    gets an apples-to-apples baseline measured on ITS OWN frames.
+    """
+    n_total = len(frames)
+    orb_det = cv2.ORB_create(nfeatures=500) if full else None
 
     t0 = time.perf_counter()
     # frame-0 bootstrap (initSequence src/VisualSLAM.cpp:22-52)
@@ -167,8 +144,39 @@ def main():
             ref3d = ref3d[keep]
             ref2d = nxt[keep]
     dt = time.perf_counter() - t0
+    return dt, np.stack(traj)
 
-    est = np.stack(traj)
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=192)
+    ap.add_argument("--full", action="store_true",
+                    help="add the reference's per-frame loop-detection "
+                    "front half: ORB detectAndCompute on every frame "
+                    "(src/optimizationStuff.cpp:50-55). The DBoW2 "
+                    "transform+query+geometric check cannot be "
+                    "re-executed (DBoW2 absent), so this remains a "
+                    "CONSERVATIVE bar for the reference's full loop.")
+    args = ap.parse_args()
+
+    from ros_stereo_slam_tpu.config import CameraConfig
+    from ros_stereo_slam_tpu.data.synthetic import SyntheticWorld
+    from ros_stereo_slam_tpu.utils import metrics
+
+    cam = CameraConfig()
+    n_total = args.frames + 1
+    world = SyntheticWorld(camera=cam, n_frames=n_total, seed=11, half_w=18.0)
+    print(f"[ref] rendering {n_total} frames...", file=sys.stderr)
+    frames = []
+    for i in range(n_total):
+        l, r, _ = world.render(i)
+        frames.append((
+            (np.clip(l, 0, 1) * 255).astype(np.uint8),
+            (np.clip(r, 0, 1) * 255).astype(np.uint8),
+        ))
+
+    K = np.array([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]])
+    dt, est = run_pipeline(frames, K, cam.baseline, full=args.full)
     ate = metrics.ate_rmse(est, world.poses[: est.shape[0]])
     print(json.dumps({
         "reference_cpu_fps": round(args.frames / dt, 2),
