@@ -29,6 +29,23 @@ pytrees are shape-stable across chunks.  :class:`ChunkedSLAM` is the
 incremental API (feed chunks as they arrive — e.g. from the native
 prefetch loader); :func:`run_online_slam` wraps it for a whole staged
 sequence.
+
+**Speculative chunk pipelining** (round 5): the serial per-chunk cost is
+device-idle time — the D2H stats fetch plus the host gate replay sit
+between one chunk's compute and the next dispatch.  But a correction
+only changes the carry when a closure is ACCEPTED, which is rare (zero
+on non-revisiting sequences, ~1 per 100+ frames under the reference's
+cooldown rule).  So :func:`run_online_slam` dispatches chunk k+1 from
+the UNCORRECTED post-k state before gating chunk k (JAX dispatch is
+async — the device computes k+1 while the host gates k), and on the
+rare accepted closure discards the speculative state and re-dispatches
+k+1 from the corrected carry.  Detection db state needs no rollback
+bookkeeping beyond the re-dispatch: it is a pure function of frames and
+frame ids, so the re-run reproduces it identically.  Semantics are
+bit-identical to the sequential driver by construction — speculation
+only ever commits when the sequential driver would have dispatched the
+same carry (tests/test_posture_parity.py pins all-driver closure-set
+parity).
 """
 
 from __future__ import annotations
@@ -58,6 +75,27 @@ class ChunkInfo(NamedTuple):
     tracking_ok: np.ndarray  # (C,)
     n_accepted: int  # closures accepted at this chunk boundary
     corrected: bool  # whether a PGO correction was applied
+
+
+class PendingChunk(NamedTuple):
+    """A dispatched-but-not-yet-gated chunk (device futures + inputs).
+
+    Produced by :meth:`ChunkedSLAM.begin_chunk`; consumed IN ORDER by
+    :meth:`ChunkedSLAM.finish_chunk`.  Holds the post-chunk device state
+    (so a correction can be computed from it even after later chunks
+    were speculatively dispatched) and the chunk's inputs (for the
+    default PnP query-frame lookup and the correction re-bootstrap).
+    """
+
+    pos: int  # global frame id of row 0
+    n: int  # frames in this chunk
+    carry_after: object  # SlamCarry after this chunk (device)
+    lc_after: object  # LCScanState after this chunk (device)
+    fstats: object  # per-frame stats (device futures)
+    lstats: object  # detection shortlists (device futures)
+    lefts: object  # chunk inputs as staged (device or host)
+    rights: object
+    rgbs: object
 
 
 @dataclass
@@ -129,31 +167,52 @@ class ChunkedSLAM:
         self.graph.initialize()
         self._prev_T = self._carry.T_wc
         self.frame_count = 1
+        # dispatch frontier (runs ahead of frame_count under speculation)
+        self._disp_pos = 1
 
-    def process_chunk(self, lefts, rights, rgbs=None,
-                      query_frames=None) -> ChunkInfo:
-        """Run one micro-batch of frames; returns per-chunk ChunkInfo.
+    def begin_chunk(self, lefts, rights, rgbs=None) -> PendingChunk:
+        """Dispatch one micro-batch's scan from the dispatch frontier.
 
-        `lefts`/`rights`: (C, H, W) device or host arrays (uint8 or f32).
-        `query_frames`: optional callable ``fid -> (left, right)`` host
-        frames for the PnP loop-edge measurement; defaults to indexing
-        this chunk (edges whose query frame is inside it — always true,
-        candidates are emitted by the frames of this chunk).
+        Async: returns immediately with device futures.  May be called
+        again before :meth:`finish_chunk` (speculative pipelining) — the
+        next dispatch consumes this one's post-chunk state.  If a later
+        ``finish_chunk`` applies a correction, every speculative
+        dispatch after it is invalid and must be re-issued (the frontier
+        rolls back automatically; see :func:`run_online_slam`).
         """
         cfg = self.config
-        pos = self.frame_count
+        pos = self._disp_pos
         sd = self._stage_dtype(lefts)
         ls = jnp.asarray(lefts, sd)
         rs = jnp.asarray(rights, sd)
         rgb = None if rgbs is None else jnp.asarray(rgbs)
-        (self._carry, self._lc), (fstats, lstats) = (
+        (carry, lc), (fstats, lstats) = (
             slam_scan.run_sequence_slam(
                 ls, rs, self._carry, self._lc, self.grid_pts,
                 self.grid_mask, self._centers, self._idf, cfg,
                 self.vocab.k, rgb_seq=rgb, fid_start=jnp.int32(pos),
             )
         )
-        n = ls.shape[0]
+        self._carry, self._lc = carry, lc
+        self._disp_pos = pos + ls.shape[0]
+        return PendingChunk(
+            pos=pos, n=ls.shape[0], carry_after=carry, lc_after=lc,
+            fstats=fstats, lstats=lstats, lefts=lefts, rights=rights,
+            rgbs=rgb,
+        )
+
+    def finish_chunk(self, pending: PendingChunk,
+                     query_frames=None) -> ChunkInfo:
+        """Gate + commit one dispatched chunk (must be called in order).
+
+        On an accepted closure the live carry is corrected FROM THIS
+        CHUNK'S post-state and the dispatch frontier rolls back to it —
+        any chunks begun after this one are invalid and must be
+        re-dispatched by the caller.
+        """
+        cfg = self.config
+        pos, n = pending.pos, pending.n
+        fstats, lstats = pending.fstats, pending.lstats
         # ONE host round trip per chunk: poses + detection shortlists.
         (T_np, top_ids, top_scores, ns_arr, n_trk_np, n_inl_np, is_kf_np,
          ok_np) = (
@@ -178,18 +237,19 @@ class ChunkedSLAM:
             self.trajectory_dev, jnp.asarray(T_np, jnp.float32),
             (pos, 0, 0),
         )
-        self._prev_T = self._carry.T_wc
+        self._prev_T = pending.carry_after.T_wc
         self.frame_count = pos + n
 
         accepted = self.gate.process(
-            self._lc, top_ids, top_scores, ns_arr, fid_start=pos
+            pending.lc_after, top_ids, top_scores, ns_arr, fid_start=pos
         )
         if accepted:
+            lefts, rights, rgb = pending.lefts, pending.rights, pending.rgbs
             if query_frames is None:
                 def query_frames(fid):
                     return lefts[fid - pos], rights[fid - pos]
             events, edges = slam_scan.measure_loop_edges(
-                accepted, self._lc, query_frames, cfg,
+                accepted, pending.lc_after, query_frames, cfg,
             )
             self.loop_events.extend(events)
             for (i, j, Z) in edges:
@@ -197,10 +257,16 @@ class ChunkedSLAM:
             old_poses = self.trajectory_dev
             new_poses = self.graph.optimize(old_poses)
             T_opt = new_poses[self.frame_count - 1]
-            self._apply_correction(
-                T_opt, new_poses, old_poses, rs[-1],
+            sd = self._stage_dtype(rights)
+            self._carry = self._corrected_carry(
+                pending.carry_after, T_opt, new_poses, old_poses,
+                jnp.asarray(rights, sd)[-1],
                 rgb_img=None if rgb is None else rgb[-1],
             )
+            # Roll the dispatch frontier back to this (corrected) chunk
+            # boundary: speculative chunks past it are now invalid.
+            self._lc = pending.lc_after
+            self._disp_pos = pos + n
             self.trajectory_dev = new_poses
             self._prev_T = T_opt
             self.n_corrections += 1
@@ -210,15 +276,33 @@ class ChunkedSLAM:
             n_accepted=len(accepted), corrected=bool(accepted),
         )
 
-    def _apply_correction(self, T_opt, new_poses, old_poses, right_img,
-                          rgb_img=None) -> None:
-        """Apply a PGO result to the live carry (reference
+    def process_chunk(self, lefts, rights, rgbs=None,
+                      query_frames=None) -> ChunkInfo:
+        """Run one micro-batch of frames; returns per-chunk ChunkInfo.
+
+        `lefts`/`rights`: (C, H, W) device or host arrays (uint8 or f32).
+        `query_frames`: optional callable ``fid -> (left, right)`` host
+        frames for the PnP loop-edge measurement; defaults to indexing
+        this chunk (edges whose query frame is inside it — always true,
+        candidates are emitted by the frames of this chunk).
+
+        Sequential convenience wrapper: ``finish_chunk(begin_chunk(...))``
+        — see :func:`run_online_slam` for the speculative pipeline.
+        """
+        return self.finish_chunk(
+            self.begin_chunk(lefts, rights, rgbs=rgbs),
+            query_frames=query_frames,
+        )
+
+    def _corrected_carry(self, carry, T_opt, new_poses, old_poses,
+                         right_img, rgb_img=None):
+        """Apply a PGO result to a post-chunk carry (reference
         ``VisualSLAM.cpp:120-146`` semantics, as the streaming driver
         implements them): keyframe clouds/poses follow the corrected
         trajectory, the live feature set is re-triangulated at the
-        optimized pose, and tracking continues from there."""
+        optimized pose, and tracking continues from there.  Returns the
+        corrected carry."""
         cfg = self.config
-        carry = self._carry
         kf = carry.keyframes
         new_points = pg_mod.rewrite_points(
             kf.points, kf.frame_idx, old_poses, new_poses
@@ -252,7 +336,7 @@ class ChunkedSLAM:
             if cfg.ba_enabled
             else None
         )
-        self._carry = carry._replace(
+        return carry._replace(
             track=new_track, T_wc=T_opt, keyframes=kf, ba=new_ba
         )
 
@@ -304,6 +388,10 @@ def run_online_slam(
     decomposed separately by ``bench.bench_streaming``-style callers).
     Frames beyond the last full chunk run as one shorter tail dispatch
     (a second compilation, paid once).
+
+    Runs the SPECULATIVE pipeline (module docstring): chunk k+1 is
+    dispatched before chunk k's host gates run, and re-dispatched from
+    the corrected carry on the rare accepted closure.
     """
     F = left_seq.shape[0]
     slam = ChunkedSLAM(cfg, vocab)
@@ -315,15 +403,26 @@ def run_online_slam(
     def host_query(fid):
         return left_seq[fid], right_seq[fid]
 
-    pos = 1
-    n_chunks = 0
-    while pos < F:
+    def chunk_inputs(pos):
         n = min(chunk, F - pos)
-        slam.process_chunk(
+        return (
             left_seq[pos:pos + n], right_seq[pos:pos + n],
-            rgbs=None if rgb_seq is None else rgb_seq[pos:pos + n],
-            query_frames=host_query,
+            None if rgb_seq is None else rgb_seq[pos:pos + n],
         )
+
+    n_chunks = 0
+    pending = slam.begin_chunk(*chunk_inputs(1)) if F > 1 else None
+    while pending is not None:
+        next_pos = pending.pos + pending.n
+        # speculative: dispatch the next chunk from the (possibly
+        # uncorrected) frontier before gating this one
+        pend_next = (slam.begin_chunk(*chunk_inputs(next_pos))
+                     if next_pos < F else None)
+        info = slam.finish_chunk(pending, query_frames=host_query)
+        if info.corrected and pend_next is not None:
+            # the frontier rolled back to the corrected chunk boundary;
+            # the speculative dispatch used a stale carry — re-issue it
+            pend_next = slam.begin_chunk(*chunk_inputs(next_pos))
         n_chunks += 1
-        pos += n
+        pending = pend_next
     return slam.result(n_chunks=n_chunks)

@@ -613,6 +613,11 @@ def _edges_pnp_batch(
     cam = step_mod._cam_of(cfg)
     cap = cfg.loop.db_capacity
 
+    if lq.dtype == jnp.uint8:
+        lq = lq.astype(jnp.float32) * (1.0 / 255.0)
+    if rq.dtype == jnp.uint8:
+        rq = rq.astype(jnp.float32) * (1.0 / 255.0)
+
     def one(l1, r1, bi, im, qf, mf):
         lp = tuple(pyramid.build_pyramid(l1, cfg.frontend.lk_levels))
         rp = tuple(pyramid.build_pyramid(r1, cfg.frontend.lk_levels))
@@ -665,25 +670,30 @@ def _measure_edges_pnp(
     lqs, rqs = [], []
     for (q, _) in cands:
         lq_raw, rq_raw = frame_of(q)
-        lq_raw = np.asarray(lq_raw)
-        rq_raw = np.asarray(rq_raw)
-        scale = 1.0 / 255.0 if lq_raw.dtype == np.uint8 else 1.0
-        lqs.append(lq_raw.astype(np.float32) * scale)
-        rqs.append(rq_raw.astype(np.float32) * scale)
+        lqs.append(lq_raw)
+        rqs.append(rq_raw)
     P = _bucket(N)
+    # Frames already on device (the scan drivers stage whole sequences
+    # in HBM) stack there — np.stack would round-trip every query frame
+    # host-and-back over the link.  uint8 frames stay uint8 until the
+    # jitted batch casts them (4x less H2D for host-side callers).
+    on_dev = all(isinstance(a, jax.Array) for a in (*lqs, *rqs))
+    xp = jnp if on_dev else np
 
     def padded(rows):
-        return np.stack(list(rows) + [rows[0]] * (P - N))
+        return xp.stack(list(rows) + [rows[0]] * (P - N))
 
     q_fids = np.array([q for q, _ in cands] + [cands[0][0]] * (P - N),
                       np.int32)
     m_fids = np.array([m for _, m in cands] + [cands[0][1]] * (P - N),
                       np.int32)
     n_ok, Ts = jax.device_get(_edges_pnp_batch(
-        jnp.asarray(padded(lqs)), jnp.asarray(padded(rqs)),
+        padded(lqs), padded(rqs),
         db_pts, db_pt_valid,
-        jnp.asarray(padded([best_idx[i] for i in range(N)])),
-        jnp.asarray(padded([inl_mask[i] for i in range(N)])),
+        jnp.asarray(np.stack([best_idx[i] for i in range(N)]
+                             + [best_idx[0]] * (P - N))),
+        jnp.asarray(np.stack([inl_mask[i] for i in range(N)]
+                             + [inl_mask[0]] * (P - N))),
         jnp.asarray(q_fids), jnp.asarray(m_fids), cfg,
     ))
     return [

@@ -47,6 +47,11 @@ from ros_stereo_slam_tpu.ops.orb import N_BITS
 
 _NBUF = 8  # DMA pipeline depth
 _BLK = 16  # DMA window rows (8-aligned start + k live rows fit: k <= 9)
+# Max points per kernel call: the (N, 256) f32 query block lives whole
+# in VMEM, so N is capped at 8 MB against the 16 MB scoped-VMEM limit;
+# deep_descend chunks larger calls (the vocab trainer's all-descriptor
+# transform) exactly.
+_N_CAP = 8192
 
 
 def padded_rows(G: int, k: int) -> int:
@@ -205,4 +210,18 @@ def deep_descend(
         pad_table(jnp.asarray(t, jnp.int8), k) for t in tables
     )
     f = _cv_deep(k, interpret)
-    return f(q_sign.astype(jnp.float32), node.astype(jnp.int32), *tabs)
+    q = q_sign.astype(jnp.float32)
+    nd = node.astype(jnp.int32)
+    n = q.shape[0]
+    if n <= _N_CAP:
+        return f(q, nd, *tabs)
+    # Large-N callers (the vocabulary trainer transforms ALL training
+    # descriptors in one call — tens of thousands of rows) exceed the
+    # 16 MB scoped-VMEM limit through the (N, 256) f32 query block
+    # (measured: N=31,360 wants 30.7 MB).  The kernel is elementwise
+    # over points, so chunking is exact; per-frame scan callers (N<=512)
+    # never take this path.
+    return jnp.concatenate([
+        f(q[s:s + _N_CAP], nd[s:s + _N_CAP], *tabs)
+        for s in range(0, n, _N_CAP)
+    ])

@@ -71,3 +71,22 @@ def test_full_transform_unchanged_small_vocab():
     w = vocab_mod.transform_words(voc, jnp.asarray(X))
     assert w.shape == (400,)
     assert int(jnp.max(w)) < voc.n_words
+
+
+def test_deep_descend_chunks_large_n(monkeypatch):
+    """Calls above the VMEM point cap split exactly (the vocab trainer
+    transforms tens of thousands of descriptors in one call; measured
+    scoped-VMEM OOM at N=31,360 before chunking)."""
+    rng = np.random.default_rng(11)
+    k, n = 5, 64
+    t0 = _signs(rng, (k**3, N_BITS)).astype(np.int8)
+    q = jnp.asarray(_signs(rng, (n, N_BITS)))
+    node = jnp.asarray(rng.integers(0, k**2, size=n), jnp.int32)
+    whole = vocab_pallas.deep_descend(
+        q, node, (jnp.asarray(t0),), k, interpret=True
+    )
+    monkeypatch.setattr(vocab_pallas, "_N_CAP", 24)  # force 3 chunks
+    chunked = vocab_pallas.deep_descend(
+        q, node, (jnp.asarray(t0),), k, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(whole), np.asarray(chunked))
