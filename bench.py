@@ -346,9 +346,17 @@ def bench_full_slam(args, cam, left_seq, right_seq, gt_poses):
     # Batched full SLAM (DP-over-sequences): the sequence split into 2
     # lanes of odometry + detection through ONE scan (per-lane 531k-word
     # databases), per-lane host epilogue included in the timed region —
-    # the fleet-mapping posture at full retrieval scale.
+    # the fleet-mapping posture at full retrieval scale.  Lanes run with
+    # the shared keyframe cadence (batch_align_window=2): the hoisted
+    # kf branch fires when ANY lane triggers, so aligning lanes'
+    # inlier-triggered re-bootstraps onto a shared window cuts P(fire)
+    # (KeyframeConfig.batch_align_window; ATE guarded per lane below).
+    import dataclasses as _dc
+
     from ros_stereo_slam_tpu.models.slam_scan import run_offline_slam_batched
 
+    bcfg = cfg.replace(
+        keyframes=_dc.replace(cfg.keyframes, batch_align_window=2))
     B = 2
     per = (n_total - 1) // B
     # pre-staged in HBM like every other compute row (a numpy stack here
@@ -360,10 +368,10 @@ def bench_full_slam(args, cam, left_seq, right_seq, gt_poses):
     jax.block_until_ready((lanes_l, lanes_r))
     print(f"[bench] batched full SLAM x{B}: compile + first run...",
           file=sys.stderr)
-    run_offline_slam_batched(cfg, voc, lanes_l, lanes_r)
+    run_offline_slam_batched(bcfg, voc, lanes_l, lanes_r)
     print("[bench] timed runs...", file=sys.stderr)
     bres, bdt, bmed = _time_stats(
-        lambda: run_offline_slam_batched(cfg, voc, lanes_l, lanes_r),
+        lambda: run_offline_slam_batched(bcfg, voc, lanes_l, lanes_r),
         args.reps,
     )
     bates = [
@@ -373,6 +381,7 @@ def bench_full_slam(args, cam, left_seq, right_seq, gt_poses):
     ]
     online.update({
         "slam_batched_lanes": B,
+        "slam_batched_kf_align": bcfg.keyframes.batch_align_window,
         "slam_batched_fps_aggregate": round(B * per / bdt, 2),
         "slam_batched_fps_aggregate_median": round(B * per / bmed, 2),
         "slam_batched_vs_baseline": round(

@@ -186,6 +186,17 @@ class KeyframeConfig:
     sor_mean_k: int = 32  # reference uses meanK=200 (rosFuncs.cpp:9); 32 kNN
     sor_std_mul: float = 1.0  # over blocks is the masked equivalent
     max_depth: float = 500.0  # z cutoff, reference rosFuncs.cpp:12-14
+    # BATCHED lanes only (step_batched): snap inlier-triggered keyframe
+    # re-bootstraps to frames where frame_idx % window == 0, so lanes
+    # fire the shared hoisted branch TOGETHER instead of paying it on
+    # any lane's frame (P(any) grows 1-(1-p)^B).  The trigger is a
+    # LEVEL signal (inliers stay < min_pnp_inliers until the
+    # re-bootstrap), so no pending state is needed — an off-window
+    # trigger re-evaluates true on the next window frame, deferring the
+    # keyframe by <= window-1 frames.  Tracking FAILURES re-bootstrap
+    # immediately regardless.  1 = exact single-lane semantics
+    # (default; the lane-vs-single parity test pins it).
+    batch_align_window: int = 1
 
 
 @dataclass(frozen=True)

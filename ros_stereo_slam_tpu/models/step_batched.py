@@ -159,6 +159,15 @@ def slam_frame_step_batched(
         )(ba_state, track_cur, T_wc, tracked_pts, p.inliers & m)
 
     is_kf = (p.n_inliers < kfc.min_pnp_inliers) | (~tracking_ok)
+    W = max(kfc.batch_align_window, 1)
+    if W > 1:
+        # Shared-cadence alignment (see KeyframeConfig.batch_align_window):
+        # inlier-triggered keyframes wait for the window frame; tracking
+        # failures fire immediately.  frame_idx is lockstep across lanes,
+        # so on window frames every due lane fires in the SAME kf_all
+        # execution.
+        window = (carry.frame_idx % W) == 0
+        is_kf = (~tracking_ok) | (is_kf & window)
 
     cont = (
         jax.vmap(lambda t, tp, mm: t._replace(pts2d=tp, mask=mm))(

@@ -89,6 +89,42 @@ def test_batched_lanes_match_single(batched_setup):
         assert terr < 0.05, f"lane {b} final translation error {terr:.3f} m"
 
 
+def test_batched_kf_align_window(batched_setup):
+    """batch_align_window=2 defers inlier-triggered keyframes to even
+    frames (lanes fire the shared hoisted branch together) while
+    keeping tracking healthy and trajectories near the exact-semantics
+    run; tracking failures would still fire immediately."""
+    import dataclasses
+
+    from ros_stereo_slam_tpu.models import step_batched
+
+    worlds, cfg, pts, mask, L, R, keys, B, F = batched_setup
+    acfg = cfg.replace(
+        keyframes=dataclasses.replace(cfg.keyframes, batch_align_window=2)
+    )
+    carry0 = jax.vmap(
+        lambda l0, r0, k: step_mod.init_carry(l0, r0, pts, mask, k, acfg)
+    )(L[:, 0], R[:, 0], keys)
+    carryN, stats_fb = step_batched.run_sequence_batched(
+        L[:, 1:], R[:, 1:], carry0, pts, mask, acfg
+    )
+    stats = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), stats_fb)
+    assert np.asarray(stats.tracking_ok).all()
+    # inlier-triggered keyframes only on even frame_idx (frame 1 is the
+    # first step -> frame_idx 1, odd -> deferred)
+    is_kf = np.asarray(stats.is_keyframe)  # (B, F)
+    frame_idx = 1 + np.arange(F)
+    assert not is_kf[:, frame_idx % 2 == 1].any(), (
+        "aligned run fired an inlier-triggered keyframe off-window "
+        "without a tracking failure")
+    for b in range(B):
+        gt = worlds[b].poses[F]
+        terr = np.linalg.norm(np.asarray(carryN.T_wc[b])[:3, 3] - gt[:3, 3])
+        assert terr < 0.08, (
+            f"lane {b} final translation error {terr:.3f} m under "
+            "aligned keyframes")
+
+
 def test_orb_batched_kernel_matches_single():
     """orb_descriptors_batch (grid=(B,)) lane-matches the single kernel,
     and jax.vmap over orb_descriptors_auto routes to it."""
