@@ -346,17 +346,16 @@ def bench_full_slam(args, cam, left_seq, right_seq, gt_poses):
     # Batched full SLAM (DP-over-sequences): the sequence split into 2
     # lanes of odometry + detection through ONE scan (per-lane 531k-word
     # databases), per-lane host epilogue included in the timed region —
-    # the fleet-mapping posture at full retrieval scale.  Lanes run with
-    # the shared keyframe cadence (batch_align_window=2): the hoisted
-    # kf branch fires when ANY lane triggers, so aligning lanes'
-    # inlier-triggered re-bootstraps onto a shared window cuts P(fire)
-    # (KeyframeConfig.batch_align_window; ATE guarded per lane below).
-    import dataclasses as _dc
-
+    # the fleet-mapping posture at full retrieval scale.  Exact
+    # single-lane keyframe semantics (batch_align_window=1): the shared-
+    # cadence alignment was measured SLOWER AND less accurate
+    # (tools/profile_kf_align.py: w1 307.9 fps / 1.06 m, w2 290.5 /
+    # 1.62, w4 302.9 / 2.03 — deferred re-bootstraps track longer on
+    # degraded feature sets, costing more than the shared branch saves;
+    # RESULTS.md "Batched FULL SLAM").
     from ros_stereo_slam_tpu.models.slam_scan import run_offline_slam_batched
 
-    bcfg = cfg.replace(
-        keyframes=_dc.replace(cfg.keyframes, batch_align_window=2))
+    bcfg = cfg
     B = 2
     per = (n_total - 1) // B
     # pre-staged in HBM like every other compute row (a numpy stack here
