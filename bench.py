@@ -156,11 +156,6 @@ def _time_stats(fn, reps):
     return out, dts[0], med
 
 
-def _time_best(fn, reps):
-    out, best, _ = _time_stats(fn, reps)
-    return out, best
-
-
 def bench_odometry(args, cfg, left_seq, right_seq, gt_poses,
                    rgb_seq=None, tag=""):
     """Configs 1/2/4: whole-sequence scan, frames pre-staged in HBM (the
@@ -355,7 +350,6 @@ def bench_full_slam(args, cam, left_seq, right_seq, gt_poses):
     # RESULTS.md "Batched FULL SLAM").
     from ros_stereo_slam_tpu.models.slam_scan import run_offline_slam_batched
 
-    bcfg = cfg
     B = 2
     per = (n_total - 1) // B
     # pre-staged in HBM like every other compute row (a numpy stack here
@@ -367,10 +361,10 @@ def bench_full_slam(args, cam, left_seq, right_seq, gt_poses):
     jax.block_until_ready((lanes_l, lanes_r))
     print(f"[bench] batched full SLAM x{B}: compile + first run...",
           file=sys.stderr)
-    run_offline_slam_batched(bcfg, voc, lanes_l, lanes_r)
+    run_offline_slam_batched(cfg, voc, lanes_l, lanes_r)
     print("[bench] timed runs...", file=sys.stderr)
     bres, bdt, bmed = _time_stats(
-        lambda: run_offline_slam_batched(bcfg, voc, lanes_l, lanes_r),
+        lambda: run_offline_slam_batched(cfg, voc, lanes_l, lanes_r),
         args.reps,
     )
     bates = [
@@ -380,7 +374,7 @@ def bench_full_slam(args, cam, left_seq, right_seq, gt_poses):
     ]
     online.update({
         "slam_batched_lanes": B,
-        "slam_batched_kf_align": bcfg.keyframes.batch_align_window,
+        "slam_batched_kf_align": cfg.keyframes.batch_align_window,
         "slam_batched_fps_aggregate": round(B * per / bdt, 2),
         "slam_batched_fps_aggregate_median": round(B * per / bmed, 2),
         "slam_batched_vs_baseline": round(

@@ -112,6 +112,15 @@ def _bucket(n: int) -> int:
     return b
 
 
+def _padded_fids(cands: list, P: int) -> tuple[np.ndarray, np.ndarray]:
+    """(query, match) fid arrays bucket-padded to P with candidate 0
+    (padding verdicts are computed but never read)."""
+    pad = P - len(cands)
+    q = np.array([q for q, _ in cands] + [cands[0][0]] * pad, np.int32)
+    m = np.array([m for _, m in cands] + [cands[0][1]] * pad, np.int32)
+    return q, m
+
+
 def _top_k_count(lcc) -> int:
     """Top-K emitted per frame: can't exceed the shortlist or the db."""
     return min(lcc.max_db_results, lcc.shortlist, lcc.db_capacity)
@@ -477,6 +486,9 @@ class EpilogueGater:
         """
         lcc = self.lcc
         n = top_ids.shape[0]
+        # Frames <= suppress_until sit inside the carried-in cooldown
+        # window (in-block accepts extend it during pass 3).
+        suppress_until = fid_start + self.cooldown - 1
         # Pass 1: host gates (gater state must see every detection frame
         # in order, including frames inside a cooldown window).
         cands = []
@@ -489,6 +501,12 @@ class EpilogueGater:
             )
             if gated is None:
                 continue
+            # Candidates inside the CARRIED-IN window are known-
+            # suppressed now — don't spend geometry bucket slots on
+            # verdicts pass 3 would discard.  (Windows armed by
+            # in-block accepts are only known in pass 3.)
+            if fid <= suppress_until:
+                continue
             best_id, _, _ = gated
             # Separation is a pure function of the pair, so near-matches
             # can never be accepted — drop them before spending any
@@ -498,19 +516,12 @@ class EpilogueGater:
                 continue
             cands.append((fid, best_id))
 
-        # Frames <= suppress_until sit inside an armed cooldown window.
-        suppress_until = fid_start + self.cooldown - 1
         accepted = []
         if cands:
             # Pass 2: one batched dispatch, padded to a small bucket so
             # candidate-count changes don't recompile.
             P = _bucket(len(cands))
-            q_fids = np.array(
-                [q for q, _ in cands] + [cands[0][0]] * (P - len(cands)),
-                np.int32)
-            m_fids = np.array(
-                [m for _, m in cands] + [cands[0][1]] * (P - len(cands)),
-                np.int32)
+            q_fids, m_fids = _padded_fids(cands, P)
             n_inl_b, bi_b, im_b = jax.device_get(lc_mod._geom_match_many(
                 lc.db_bits, lc.db_pts, lc.db_pt_valid,
                 jnp.asarray(q_fids), jnp.asarray(m_fids),
@@ -683,10 +694,7 @@ def _measure_edges_pnp(
     def padded(rows):
         return xp.stack(list(rows) + [rows[0]] * (P - N))
 
-    q_fids = np.array([q for q, _ in cands] + [cands[0][0]] * (P - N),
-                      np.int32)
-    m_fids = np.array([m for _, m in cands] + [cands[0][1]] * (P - N),
-                      np.int32)
+    q_fids, m_fids = _padded_fids(cands, P)
     n_ok, Ts = jax.device_get(_edges_pnp_batch(
         padded(lqs), padded(rqs),
         db_pts, db_pt_valid,
