@@ -56,6 +56,8 @@ def main() -> None:
                     help="also run the chunked ONLINE driver (32-frame "
                     "micro-batches, per-chunk immediate correction) on "
                     "the same frames — the third posture's ATE + wall")
+    ap.add_argument("--train-vocab-only", action="store_true",
+                    help=argparse.SUPPRESS)
     ap.add_argument("--frame-cache", action="store_true",
                     help="cache the rendered frame stack under /tmp "
                     "(keyed by all render parameters) so repeat "
@@ -186,20 +188,51 @@ def main() -> None:
         loop=dataclasses.replace(LoopClosureConfig(), db_capacity=4096),
     )
 
-    print("[endurance] training k=9 L=6 vocabulary...", flush=True)
-    descs, docs = [], []
-    for i in range(0, L, 8):
-        f = orb.detect_and_compute(
-            jnp.asarray(lap_left[i], jnp.float32) / 255.0,
-            cfg.loop.orb_features, n_levels=cfg.loop.orb_levels,
-        )
-        v = np.asarray(f.valid)
-        descs.append(np.asarray(f.desc_sign)[v])
-        docs.append(np.full(int(v.sum()), i))
-    voc = vocab_mod.train_batched(
-        np.concatenate(descs), k=cfg.loop.vocab_k,
-        levels=cfg.loop.vocab_levels, doc_ids=np.concatenate(docs),
-    )
+    # Vocabulary trains in a SUBPROCESS writing a cache file, then the
+    # parent loads it: the dev tunnel frees device buffers lazily, and
+    # in-process training residue (ORB + level-synchronous k-means over
+    # ~31k descriptors) measurably pushed the subsequent 4,096-frame
+    # scan compile over HBM ("Used 18.04G of 15.75G"; the same program
+    # compiles fine in a clean process).  Process exit is the one
+    # reliable way to return that memory.
+    vkey = (f"{L}_{r:g}_{s}_{'j' if args.jitter else 'p'}_"
+            f"{cfg.loop.orb_features}_{cfg.loop.orb_levels}_"
+            f"{cfg.loop.vocab_k}_{cfg.loop.vocab_levels}")
+    vocab_cache = f"/tmp/endurance_vocab_{vkey}.npz"
+    if args.train_vocab_only or not os.path.exists(vocab_cache):
+        if not args.train_vocab_only:
+            import subprocess
+            print("[endurance] training vocabulary in a subprocess...",
+                  flush=True)
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--train-vocab-only", "--frames", str(F),
+                   "--lap", str(L), "--radius", str(r),
+                   "--scale", str(s), "--out", args.out]
+            if args.jitter:
+                cmd.append("--jitter")
+            if args.frame_cache:
+                cmd.append("--frame-cache")
+            subprocess.run(cmd, check=True)
+        else:
+            print("[endurance] training k=9 L=6 vocabulary...", flush=True)
+            descs, docs = [], []
+            for i in range(0, L, 8):
+                f = orb.detect_and_compute(
+                    jnp.asarray(lap_left[i], jnp.float32) / 255.0,
+                    cfg.loop.orb_features, n_levels=cfg.loop.orb_levels,
+                )
+                v = np.asarray(f.valid)
+                descs.append(np.asarray(f.desc_sign)[v])
+                docs.append(np.full(int(v.sum()), i))
+            voc = vocab_mod.train_batched(
+                np.concatenate(descs), k=cfg.loop.vocab_k,
+                levels=cfg.loop.vocab_levels, doc_ids=np.concatenate(docs),
+            )
+            voc.save(vocab_cache)
+            print(f"[endurance] vocabulary cached to {vocab_cache}",
+                  flush=True)
+            return
+    voc = vocab_mod.Vocabulary.load(vocab_cache)
     print(f"[endurance] vocabulary: {voc.n_words} words", flush=True)
 
     print("[endurance] running scan-mode full SLAM...", flush=True)
