@@ -151,3 +151,39 @@ def test_streaming_matches_scan(posture_events):
     """The round-3 regression: streaming accepted a strict subset."""
     scan_set, _, stream_set = posture_events
     assert stream_set == scan_set
+
+
+def test_speculative_equals_sequential_chunked(parity_world):
+    """run_online_slam's speculative pipeline (dispatch k+1 before
+    gating k, rollback + re-dispatch on accepted closures) must produce
+    the sequential process_chunk loop's EXACT output — same closures,
+    same corrections, bitwise-equal trajectory."""
+    from ros_stereo_slam_tpu.models.slam_chunked import (
+        ChunkedSLAM, run_online_slam,
+    )
+
+    frames, gt, cfg, voc = parity_world
+    lefts = np.stack([f[0] for f in frames])
+    rights = np.stack([f[1] for f in frames])
+
+    spec = run_online_slam(cfg, voc, lefts, rights, chunk=28)
+
+    seq = ChunkedSLAM(cfg, voc)
+    seq.initialize(lefts[0], rights[0])
+    pos = 1
+    n_chunks = 0
+    while pos < N:
+        n = min(28, N - pos)
+        seq.process_chunk(
+            lefts[pos:pos + n], rights[pos:pos + n],
+            query_frames=lambda fid: (lefts[fid], rights[fid]),
+        )
+        n_chunks += 1
+        pos += n
+    seq_res = seq.result(n_chunks=n_chunks)
+
+    assert spec.loop_events == seq_res.loop_events
+    assert spec.n_corrections == seq_res.n_corrections
+    assert spec.n_corrections >= 1, (
+        "world must exercise the rollback path (no correction fired)")
+    np.testing.assert_array_equal(spec.trajectory, seq_res.trajectory)
